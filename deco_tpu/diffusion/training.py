@@ -1,0 +1,318 @@
+"""Diffusion training objectives as pure loss functions.
+
+Parity with the reference trainer hierarchy (hhhhzp/DeCo):
+
+- :class:`FlowMatchingTrainer` — ``src/diffusion/flow_matching/training.py:20-60``
+- :class:`DeCoTrainer`        — ``src/diffusion/flow_matching/training_repa_DeCo.py:43-294``
+  (the c2i/t2i production objective: mixed lognorm/uniform timesteps, timeshift,
+  velocity MSE; the paper's 8x8 block-DCT frequency-weighted loss is first-class
+  and switchable here — the reference ships it implemented but commented out)
+- :class:`JiTTrainer`         — ``training_repa_JiT.py`` (x-prediction)
+- :class:`VPTrainer` / :class:`DDPMTrainer` — ``src/diffusion/ddpm/training.py:17-95``
+
+TPU-native design: each trainer is a pure function of ``(rng, net, batch)``
+suitable for ``jax.value_and_grad`` inside a pjit-ed train step. Randomness
+(CFG label dropout, timestep draw, interpolation noise) is derived from the
+single ``rng`` via explicit splits; there is no hidden state. bf16 policy lives
+in the model (params fp32 / compute bf16), not in an autocast wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from deco_tpu.diffusion.scheduling import BaseScheduler, bcast_right
+from deco_tpu.ops import block_dct
+
+
+# loss weight functions (reference flow_matching/training.py:6-15)
+def inverse_sigma(alpha, sigma):
+    return 1 / sigma**2
+
+
+def snr(alpha, sigma):
+    return alpha / sigma
+
+
+def minsnr(alpha, sigma, threshold=5):
+    return jnp.clip(alpha / sigma, min=threshold)
+
+
+def maxsnr(alpha, sigma, threshold=5):
+    return jnp.clip(alpha / sigma, max=threshold)
+
+
+def constant(alpha, sigma):
+    return 1.0
+
+
+LOSS_WEIGHT_FNS = {
+    "inverse_sigma": inverse_sigma,
+    "snr": snr,
+    "minsnr": minsnr,
+    "maxsnr": maxsnr,
+    "constant": constant,
+}
+
+
+def time_shift_fn(t, timeshift=1.0):
+    return t / (t + (1 - t) * timeshift)
+
+
+def _resolve_weight_fn(fn: Union[str, Callable]) -> Callable:
+    if isinstance(fn, str):
+        return LOSS_WEIGHT_FNS[fn]
+    return fn
+
+
+class BaseTrainer:
+    """CFG label dropout + dispatch (reference base/training.py:7-28)."""
+
+    def __init__(self, null_condition_p: float = 0.1):
+        self.null_condition_p = null_condition_p
+
+    def preprocess(self, rng, x, condition, uncondition):
+        if self.null_condition_p > 0:
+            bsz = x.shape[0]
+            mask = jax.random.uniform(rng, (bsz,)) < self.null_condition_p
+            mask = jnp.reshape(mask, (-1,) + (1,) * (condition.ndim - 1))
+            condition = jnp.where(mask, uncondition, condition)
+        return x, condition
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        raise NotImplementedError
+
+    def __call__(self, rng, net, x, condition, uncondition, metadata=None):
+        rng_drop, rng_step = jax.random.split(rng)
+        x, condition = self.preprocess(rng_drop, x, condition, uncondition)
+        return self._impl_trainstep(rng_step, net, x, condition, metadata)
+
+
+class FlowMatchingTrainer(BaseTrainer):
+    """Plain velocity-matching objective."""
+
+    def __init__(
+        self,
+        scheduler: BaseScheduler,
+        loss_weight_fn: Union[str, Callable] = "constant",
+        lognorm_t: bool = False,
+        timeshift: float = 1.0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.scheduler = scheduler
+        self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
+        self.lognorm_t = lognorm_t
+        self.timeshift = timeshift
+
+    def _sample_t(self, rng, batch_size):
+        if self.lognorm_t:
+            t = jax.nn.sigmoid(jax.random.normal(rng, (batch_size,)))
+        else:
+            t = jax.random.uniform(rng, (batch_size,))
+        return time_shift_fn(t, self.timeshift)
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        rng_t, rng_noise = jax.random.split(rng)
+        batch_size = x.shape[0]
+        t = self._sample_t(rng_t, batch_size)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha, dalpha, sigma, dsigma = (
+            bcast_right(c, x.ndim) for c in self.scheduler.isotropic_coeffs(t)
+        )
+        x_t = alpha * x + noise * sigma
+        v_t = dalpha * x + dsigma * noise
+        out = net(x_t, t, y)
+        weight = self.loss_weight_fn(alpha, sigma)
+        loss = weight * (out.astype(jnp.float32) - v_t.astype(jnp.float32)) ** 2
+        return dict(loss=loss.mean())
+
+
+class DeCoTrainer(BaseTrainer):
+    """The DeCo production objective (reference training_repa_DeCo.REPATrainer).
+
+    Timestep distribution mixes 90% sigmoid(randn) with 10% uniform
+    (:221-229); velocity MSE (:273-287); the 8x8 block-DCT frequency-weighted
+    flow-matching loss (:116-195, the paper's headline loss, shipped disabled)
+    is enabled with ``enable_freq_loss=True`` and runs through the fused
+    Pallas/XLA kernel in :mod:`deco_tpu.ops.block_dct`.
+    """
+
+    def __init__(
+        self,
+        scheduler: BaseScheduler,
+        loss_weight_fn: Union[str, Callable] = "constant",
+        lognorm_t: bool = True,
+        timeshift: float = 1.0,
+        lognorm_mix_p: float = 0.9,
+        feat_loss_weight: float = 0.5,
+        encoder=None,
+        align_layer: int = 8,
+        proj_denoiser_dim: int = 256,
+        proj_hidden_dim: int = 256,
+        proj_encoder_dim: int = 256,
+        freq_loss_weight: float = 1.0,
+        freq_quality: int = 85,
+        freq_mode: str = "inv_gamma",
+        freq_gamma: float = 1.0,
+        enable_freq_loss: bool = False,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.scheduler = scheduler
+        self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
+        self.lognorm_t = lognorm_t
+        self.timeshift = timeshift
+        self.lognorm_mix_p = lognorm_mix_p
+        self.feat_loss_weight = feat_loss_weight
+        self.encoder = encoder
+        self.align_layer = align_layer
+        self.freq_loss_weight = freq_loss_weight
+        self.enable_freq_loss = enable_freq_loss
+        self.freq_w = block_dct.build_freq_weight(
+            quality=freq_quality, mode=freq_mode, gamma=freq_gamma
+        )
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
+        batch_size = x.shape[0]
+        t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
+        t_uniform = jax.random.uniform(rng_u, (batch_size,))
+        base_t = jnp.where(
+            jax.random.uniform(rng_mix, (batch_size,)) <= self.lognorm_mix_p,
+            t_lognorm,
+            t_uniform,
+        )
+        t = time_shift_fn(base_t, self.timeshift)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha, dalpha, sigma, dsigma = (
+            bcast_right(c, x.ndim) for c in self.scheduler.isotropic_coeffs(t)
+        )
+        x_t = alpha * x + noise * sigma
+        v_t = dalpha * x + dsigma * noise
+
+        out = net(x_t, t, y)
+        weight = self.loss_weight_fn(alpha, sigma)
+        fm_loss = (
+            weight * (out.astype(jnp.float32) - v_t.astype(jnp.float32)) ** 2
+        ).mean()
+        losses = dict(fm_loss=fm_loss, loss=fm_loss)
+
+        if self.enable_freq_loss:
+            # DCT/YCbCr are linear: transform the difference once.
+            diff = out.astype(jnp.float32) - v_t.astype(jnp.float32)
+            freq_loss = block_dct.frequency_weighted_mse(diff, self.freq_w)
+            losses["fm_loss_freq"] = freq_loss
+            losses["loss"] = losses["loss"] + self.freq_loss_weight * freq_loss
+        return losses
+
+
+class JiTTrainer(BaseTrainer):
+    """x-prediction flow matching (reference training_repa_JiT.py).
+
+    The network predicts x1 directly; training target is the clean image and
+    the sampler recovers v as ``(out - x_t) / (1 - t)``.
+    """
+
+    def __init__(
+        self,
+        scheduler: BaseScheduler,
+        loss_weight_fn: Union[str, Callable] = "constant",
+        lognorm_t: bool = True,
+        timeshift: float = 1.0,
+        lognorm_mix_p: float = 0.9,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.scheduler = scheduler
+        self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
+        self.lognorm_t = lognorm_t
+        self.timeshift = timeshift
+        self.lognorm_mix_p = lognorm_mix_p
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
+        batch_size = x.shape[0]
+        t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
+        t_uniform = jax.random.uniform(rng_u, (batch_size,))
+        base_t = jnp.where(
+            jax.random.uniform(rng_mix, (batch_size,)) <= self.lognorm_mix_p,
+            t_lognorm,
+            t_uniform,
+        )
+        t = time_shift_fn(base_t, self.timeshift)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha, dalpha, sigma, dsigma = (
+            bcast_right(c, x.ndim) for c in self.scheduler.isotropic_coeffs(t)
+        )
+        x_t = alpha * x + noise * sigma
+        out = net(x_t, t, y)
+        weight = self.loss_weight_fn(alpha, sigma)
+        loss = weight * (out.astype(jnp.float32) - x.astype(jnp.float32)) ** 2
+        return dict(loss=loss.mean())
+
+
+class VPTrainer(BaseTrainer):
+    """eps-prediction VP trainer (reference ddpm/training.py:17-49)."""
+
+    def __init__(
+        self,
+        scheduler: BaseScheduler,
+        loss_weight_fn: Union[str, Callable] = "constant",
+        train_max_t: int = 1000,
+        lognorm_t: bool = False,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.scheduler = scheduler
+        self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
+        self.train_max_t = train_max_t
+        self.lognorm_t = lognorm_t
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        rng_t, rng_noise = jax.random.split(rng)
+        batch_size = x.shape[0]
+        if self.lognorm_t:
+            t = jax.nn.sigmoid(jax.random.normal(rng_t, (batch_size,)))
+        else:
+            t = jax.random.uniform(rng_t, (batch_size,))
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha = bcast_right(self.scheduler.alpha(t), x.ndim)
+        sigma = bcast_right(self.scheduler.sigma(t), x.ndim)
+        x_t = alpha * x + noise * sigma
+        out = net(x_t, t * self.train_max_t, y)
+        weight = self.loss_weight_fn(alpha, sigma)
+        loss = weight * (out.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
+        return dict(loss=loss.mean())
+
+
+class DDPMTrainer(BaseTrainer):
+    """Discrete-t eps-prediction trainer (reference ddpm/training.py:52-95)."""
+
+    def __init__(
+        self,
+        scheduler: BaseScheduler,
+        loss_weight_fn: Union[str, Callable] = "constant",
+        train_max_t: int = 1000,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.scheduler = scheduler
+        self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
+        self.train_max_t = train_max_t
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+        rng_t, rng_noise = jax.random.split(rng)
+        batch_size = x.shape[0]
+        t = jax.random.randint(rng_t, (batch_size,), 0, self.train_max_t)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha = bcast_right(self.scheduler.alpha(t), x.ndim)
+        sigma = bcast_right(self.scheduler.sigma(t), x.ndim)
+        x_t = alpha * x + noise * sigma
+        out = net(x_t, t.astype(x.dtype), y)
+        weight = self.loss_weight_fn(alpha, sigma)
+        loss = weight * (out.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
+        return dict(loss=loss.mean())

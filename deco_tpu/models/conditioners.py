@@ -1,0 +1,171 @@
+"""Condition encoders: class labels, text (Qwen3), composition.
+
+Parity with reference ``src/models/conditioner/*`` (hhhhzp/DeCo). Conditioners
+return a ``(condition, uncondition)`` pair; float conditions are cast to bf16
+(reference base.py:16-24). The Qwen3 text encoder runs the HF torch model on
+CPU at data-preparation time (text encoding is not the TPU hot path; its
+embeddings are fed to the jitted denoiser as arrays) — with a deterministic
+hash-embedding fallback when HF weights are unavailable so the full t2i path
+stays testable offline.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class BaseConditioner:
+    def _impl_condition(self, y, metadata):
+        raise NotImplementedError
+
+    def _impl_uncondition(self, y, metadata):
+        raise NotImplementedError
+
+    def __call__(self, y, metadata: Optional[dict] = None):
+        metadata = metadata if metadata is not None else {}
+        condition = self._impl_condition(y, metadata)
+        uncondition = self._impl_uncondition(y, metadata)
+        if jnp.issubdtype(jnp.asarray(condition).dtype, jnp.floating):
+            condition = jnp.asarray(condition, jnp.bfloat16)
+        if jnp.issubdtype(jnp.asarray(uncondition).dtype, jnp.floating):
+            uncondition = jnp.asarray(uncondition, jnp.bfloat16)
+        return condition, uncondition
+
+
+class LabelConditioner(BaseConditioner):
+    """Class-id conditioner; null class = num_classes (reference class_label.py:4-13)."""
+
+    def __init__(self, num_classes: int):
+        self.null_condition = num_classes
+
+    def _impl_condition(self, y, metadata):
+        return jnp.asarray(y, jnp.int32)
+
+    def _impl_uncondition(self, y, metadata):
+        return jnp.full((len(y),), self.null_condition, dtype=jnp.int32)
+
+
+class PlaceHolderConditioner(BaseConditioner):
+    """Random labels for debugging (reference place_holder.py:4-16)."""
+
+    def __init__(self, num_classes: int = 1000, seed: int = 0):
+        self.num_classes = num_classes
+        self._rng = np.random.RandomState(seed)
+
+    def _impl_condition(self, y, metadata):
+        return jnp.asarray(
+            self._rng.randint(0, self.num_classes, size=(len(y),)), jnp.int32
+        )
+
+    def _impl_uncondition(self, y, metadata):
+        return jnp.full((len(y),), self.num_classes, dtype=jnp.int32)
+
+
+class ComposeConditioner(BaseConditioner):
+    """Concatenate conditions along dim 1 (reference base.py:28-43)."""
+
+    def __init__(self, conditioners: List[BaseConditioner]):
+        self.conditioners = conditioners
+
+    def _impl_condition(self, y, metadata):
+        return jnp.concatenate(
+            [c._impl_condition(y, metadata) for c in self.conditioners], axis=1
+        )
+
+    def _impl_uncondition(self, y, metadata):
+        return jnp.concatenate(
+            [c._impl_uncondition(y, metadata) for c in self.conditioners], axis=1
+        )
+
+
+class Qwen3TextEncoder(BaseConditioner):
+    """Qwen3 last-hidden-state text conditioner (reference qwen3_text_encoder.py:8-36).
+
+    Right-pads/truncates to ``max_length`` tokens, projects/pads hidden states
+    to ``embed_dim``, caches the negative-prompt uncondition embedding, and
+    writes ``valid_length_y`` into metadata. Runs the HF torch model on host
+    CPU; set ``weight_path=None`` for the deterministic hash-embedding fallback
+    (offline testing).
+    """
+
+    def __init__(
+        self,
+        weight_path: Optional[str] = None,
+        embed_dim: int = 2048,
+        max_length: int = 128,
+        negative_prompt: str = "",
+    ):
+        self.embed_dim = embed_dim
+        self.max_length = max_length
+        self.negative_prompt = negative_prompt
+        self._model = None
+        self._tokenizer = None
+        self._uncond_cache = None
+        if weight_path is not None:
+            import torch  # CPU-only; host-side text encoding
+            from transformers import AutoModel, AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(
+                weight_path, padding_side="right"
+            )
+            self._model = AutoModel.from_pretrained(
+                weight_path, torch_dtype=torch.bfloat16
+            ).eval()
+
+    def _encode_hf(self, prompts, metadata):
+        import torch
+
+        tok = self._tokenizer(
+            prompts,
+            padding="max_length",
+            truncation=True,
+            max_length=self.max_length,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            out = self._model(
+                input_ids=tok.input_ids, attention_mask=tok.attention_mask
+            )
+        hidden = out.last_hidden_state.float().numpy()  # (B, L, D)
+        metadata["valid_length_y"] = jnp.asarray(
+            tok.attention_mask.sum(-1).numpy(), jnp.int32
+        )
+        return self._fit_dim(hidden)
+
+    def _encode_fallback(self, prompts, metadata):
+        """Deterministic per-token hash embeddings (offline/CI path)."""
+        batch = np.zeros((len(prompts), self.max_length, self.embed_dim), np.float32)
+        lengths = []
+        for i, p in enumerate(prompts):
+            tokens = str(p).lower().split()[: self.max_length]
+            lengths.append(max(len(tokens), 1))
+            for j, tokn in enumerate(tokens):
+                seed = abs(hash(tokn)) % (2**31)
+                batch[i, j] = np.random.RandomState(seed).randn(self.embed_dim) * 0.02
+        metadata["valid_length_y"] = jnp.asarray(lengths, jnp.int32)
+        return batch
+
+    def _fit_dim(self, hidden: np.ndarray) -> np.ndarray:
+        d = hidden.shape[-1]
+        if d == self.embed_dim:
+            return hidden
+        if d > self.embed_dim:
+            return hidden[..., : self.embed_dim]
+        pad = np.zeros(hidden.shape[:-1] + (self.embed_dim - d,), hidden.dtype)
+        return np.concatenate([hidden, pad], axis=-1)
+
+    def _impl_condition(self, y, metadata):
+        fn = self._encode_hf if self._model is not None else self._encode_fallback
+        return jnp.asarray(fn(list(y), metadata))
+
+    def _impl_uncondition(self, y, metadata):
+        if self._uncond_cache is None:
+            neg = metadata.get("negative_prompt", self.negative_prompt)
+            fn = self._encode_hf if self._model is not None else self._encode_fallback
+            self._uncond_cache = jnp.asarray(fn([neg], {}))
+        return jnp.broadcast_to(
+            self._uncond_cache, (len(y),) + self._uncond_cache.shape[1:]
+        )

@@ -1,0 +1,156 @@
+"""DeCo class-to-image model: semantic DiT encoder + per-patch pixel decoder.
+
+TPU-native Flax re-design of the reference ``PixNerDiT``
+(``src/models/transformer/dit_c2i_DeCo.py:417-536`` of hhhhzp/DeCo,
+config ``configs_c2i/DeCo_XL.yaml:44-55``):
+
+- NHWC input; patchify/unpatchify are reshapes (:mod:`deco_tpu.models.patching`).
+- The ``num_cond_blocks`` DiT blocks run under ``nn.scan`` (one compiled block
+  body, stacked params) — compile time stays ~constant in depth; the REPA
+  alignment layer's activations are tapped via a scan carry instead of a
+  forward hook, without materializing every layer's output.
+- The pixel decoder (``SimpleMLPAdaLN``) operates on (B, L, P^2, C) without the
+  reference's (B*L) flattening — identical math, XLA-friendly shapes.
+- bf16 compute / fp32 params; RoPE tables and DCT positional bases are
+  precomputed fp32 constants keyed on the static (H, W).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deco_tpu.models import layers
+from deco_tpu.models.patching import patchify, unpatchify
+
+
+class _DiTScanCell(nn.Module):
+    """Scan cell: one DiT block + feature-tap bookkeeping in the carry."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.bfloat16
+    align_layer: int = 0  # 1-based; 0 disables the tap
+
+    @nn.compact
+    def __call__(self, carry, c, rope, mask):
+        x, feat, idx = carry
+        x = layers.FlattenDiTBlock(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+            name="block",
+        )(x, c, rope, mask)
+        if self.align_layer:
+            feat = jnp.where(idx == self.align_layer - 1, x, feat)
+        return (x, feat, idx + 1), None
+
+
+def run_dit_blocks(
+    x, c, rope, mask, *, num_blocks, num_heads, mlp_ratio=4.0,
+    dtype=jnp.bfloat16, grad_checkpoint=False, align_layer=0, name="blocks",
+):
+    """Run a stack of FlattenDiTBlocks under nn.scan; returns (x, tapped_feat)."""
+    cell = _DiTScanCell
+    if grad_checkpoint:
+        cell = nn.remat(cell, prevent_cse=False)
+    scanned = nn.scan(
+        cell,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        length=num_blocks,
+        metadata_params={nn.meta.PARTITION_NAME: None},
+    )(
+        num_heads=num_heads, mlp_ratio=mlp_ratio, dtype=dtype,
+        align_layer=align_layer, name=name,
+    )
+    feat0 = jnp.zeros_like(x)
+    (x, feat, _), _ = scanned((x, feat0, jnp.int32(0)), c, rope, mask)
+    return x, feat
+
+
+class DeCoC2I(nn.Module):
+    """Frequency-decoupled pixel-diffusion DiT (c2i).
+
+    DeCo-XL/16: in_channels=3, patch=16, heads=16, hidden=1152, hidden_x=32,
+    num_blocks=31, num_cond_blocks=28 -> 682M params.
+    """
+
+    in_channels: int = 3
+    patch_size: int = 16
+    num_groups: int = 12
+    hidden_size: int = 1152
+    hidden_size_x: int = 64
+    nerf_mlpratio: int = 4  # accepted for config parity; unused by this decoder
+    num_blocks: int = 18
+    num_cond_blocks: int = 4
+    num_classes: int = 1000
+    max_freqs: int = 8
+    dtype: Any = jnp.bfloat16
+    grad_checkpoint: bool = False
+    align_layer: int = 0  # REPA feature tap (1-based block index); 0 = off
+    # RoPE positions span [0, rope_scale] regardless of grid size (rope.py:5)
+    rope_scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x, t, y, s=None, mask=None, return_s: bool = False,
+                 return_features: bool = False):
+        """x: (B, H, W, C) NHWC; t: (B,) in [0,1]; y: (B,) int class labels."""
+        b, h, w, _ = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        rope = layers.precompute_rope_2d(
+            self.hidden_size // self.num_groups, gh, gw, scale=self.rope_scale
+        )
+
+        x_patches = patchify(x, p).astype(self.dtype)  # (B, L, P*P*C)
+
+        t_emb = layers.TimestepEmbedder(
+            self.hidden_size, dtype=self.dtype, name="t_embedder"
+        )(t.reshape(-1)).reshape(b, 1, self.hidden_size)
+        y_emb = layers.LabelEmbedder(
+            self.num_classes + 1, self.hidden_size, dtype=self.dtype, name="y_embedder"
+        )(y).reshape(b, 1, self.hidden_size)
+        c = nn.silu(t_emb + y_emb)
+
+        feat = None
+        if s is None:
+            s = layers.Embed(
+                self.hidden_size, dtype=self.dtype, name="s_embedder"
+            )(x_patches)
+            s, feat = run_dit_blocks(
+                s, c, rope, mask,
+                num_blocks=self.num_cond_blocks,
+                num_heads=self.num_groups,
+                dtype=self.dtype,
+                grad_checkpoint=self.grad_checkpoint,
+                align_layer=self.align_layer if return_features else 0,
+                name="blocks",
+            )
+            s = nn.silu(t_emb + s)
+
+        # ---- per-patch pixel decoder ----
+        x_pix = x_patches.reshape(b, gh * gw, p * p, self.in_channels)
+        x_pix = layers.NerfEmbedder(
+            self.hidden_size_x, max_freqs=self.max_freqs, dtype=self.dtype,
+            name="x_embedder",
+        )(x_pix)
+        out = layers.SimpleMLPAdaLN(
+            model_channels=self.hidden_size_x,
+            out_channels=self.in_channels,
+            num_res_blocks=self.num_blocks - self.num_cond_blocks,
+            patch_size=p,
+            dtype=self.dtype,
+            name="dec_net",
+        )(x_pix, s)
+        out = out.reshape(b, gh * gw, p * p * self.in_channels)
+        img = unpatchify(out.astype(jnp.float32), gh, gw, p)
+
+        if return_s and return_features:
+            return img, s.reshape(b, gh, gw, self.hidden_size), feat
+        if return_s:
+            return img, s.reshape(b, gh, gw, self.hidden_size)
+        if return_features:
+            return img, feat
+        return img

@@ -1,0 +1,580 @@
+"""Shared Flax layers for the DeCo model family.
+
+Functional parity with the reference layer set (hhhhzp/DeCo
+``src/models/layers/*`` and the copies embedded in
+``src/models/transformer/dit_c2i_DeCo.py``), re-designed for TPU:
+
+- NHWC / (B, L, D) layouts throughout; patchify is a reshape+transpose.
+- RoPE uses a real cos/sin formulation (precomputed fp32 tables) instead of
+  torch complex numbers — numerically identical rotation of (even, odd) pairs.
+- RMSNorm computes in fp32 and casts back, mirroring the reference's explicit
+  upcast (``src/models/layers/rmsnorm.py:5-18``).
+- The dtype policy is params fp32 / compute bf16, matching the reference's
+  bf16-autocast-with-fp32-islands behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation: x * (1 + scale) + shift."""
+    return x * (1 + scale) + shift
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with fp32 internal compute (reference rmsnorm.py:5-18)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        input_dtype = x.dtype
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        variance = jnp.mean(xf**2, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(variance + self.eps)
+        return (weight * xf).astype(input_dtype)
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU feed-forward; hidden dim is 2/3 of the nominal mlp width.
+
+    Matches the reference FeedForward (dit_c2i_DeCo.py:101-114): callers pass
+    ``hidden_dim = mlp_ratio * dim`` and the module uses ``2*hidden/3``.
+    The fused w12 layout of ``src/models/layers/swiglu.py`` maps onto the
+    separate (w1, w3) kernels at checkpoint-conversion time.
+    """
+
+    hidden_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        hidden = int(2 * self.hidden_dim / 3)
+        w1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w1")
+        w3 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w3")
+        w2 = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="w2")
+        return w2(nn.silu(w1(x)) * w3(x))
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding + 2-layer MLP.
+
+    NOTE: ``max_period`` defaults to 10 — the reference's deliberate quirk for
+    the DeCo family (``src/models/layers/time_embed.py:16``; flow-matching t is
+    in [0,1], so the usual 10000 wastes nearly the whole frequency range). The
+    UniFlow family overrides this with 10000.
+    """
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    max_period: float = 10.0
+    dtype: Dtype = jnp.bfloat16
+
+    def timestep_embedding(self, t, dim):
+        half = dim // 2
+        freqs = jnp.exp(
+            -math.log(self.max_period)
+            * jnp.arange(half, dtype=jnp.float32)
+            / half
+        )
+        args = t[..., None].astype(jnp.float32) * freqs[None]
+        embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            embedding = jnp.concatenate(
+                [embedding, jnp.zeros_like(embedding[..., :1])], axis=-1
+            )
+        return embedding
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = self.timestep_embedding(t, self.frequency_embedding_size)
+        t_freq = t_freq.astype(self.dtype)
+        h = nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=0.02),
+            name="mlp_0",
+        )(t_freq)
+        h = nn.silu(h)
+        return nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=0.02),
+            name="mlp_2",
+        )(h)
+
+
+class Embed(nn.Module):
+    """Linear patch/feature embed with optional norm (reference patch_embed.py:6-22)."""
+
+    embed_dim: int
+    use_norm: bool = False
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.embed_dim,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            name="proj",
+        )(x)
+        if self.use_norm:
+            x = RMSNorm(name="norm")(x)
+        return x
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding table (reference dit_c2i_DeCo.py:60-69)."""
+
+    num_classes: int
+    hidden_size: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_classes, self.hidden_size),
+            jnp.float32,
+        )
+        return jnp.take(table, labels, axis=0).astype(self.dtype)
+
+
+class FinalLayer(nn.Module):
+    """adaLN final layer with zero-init linear (reference final_layer.py:6-19)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c):
+        hidden = x.shape[-1]
+        mod = nn.Dense(
+            2 * hidden,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )(c)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype,
+            name="norm_final",
+        )(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.out_channels,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="linear",
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# 2-D RoPE (cos/sin formulation of the reference's complex implementation)
+# ---------------------------------------------------------------------------
+
+
+def precompute_rope_2d(
+    dim: int, height: int, width: int, theta: float = 10000.0, scale=16.0,
+    extrapolate: bool = False,
+):
+    """Axial 2-D RoPE tables.
+
+    Returns (cos, sin) float32 arrays of shape (N, dim/2) where N = height*width
+    and angle columns interleave x/y frequencies: [x_f0, y_f0, x_f1, y_f1, ...].
+    Equivalent to the reference's complex ``precompute_freqs_cis_2d``
+    (``src/models/layers/rope.py:5-28``); ``extrapolate=True`` gives the
+    resolution-scaled ``precompute_freqs_cis_ex2d`` variant (:30-46) where
+    positions span [0, H*scale_h] x [0, W*scale_w] enabling arbitrary
+    resolutions at inference.
+    """
+    if extrapolate:
+        if isinstance(scale, (int, float)):
+            scale = (float(scale), float(scale))
+        x_pos = np.linspace(0, height * scale[0], width)
+        y_pos = np.linspace(0, width * scale[1], height)
+    else:
+        x_pos = np.linspace(0, scale, width)
+        y_pos = np.linspace(0, scale, height)
+    y_grid, x_grid = np.meshgrid(y_pos, x_pos, indexing="ij")
+    y_flat, x_flat = y_grid.reshape(-1), x_grid.reshape(-1)
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 4)[: dim // 4] / dim))
+    x_angles = np.outer(x_flat, freqs)  # (N, dim/4)
+    y_angles = np.outer(y_flat, freqs)
+    # interleave [x, y] per frequency -> (N, dim/2)
+    angles = np.stack([x_angles, y_angles], axis=-1).reshape(len(x_flat), -1)
+    return (
+        jnp.asarray(np.cos(angles), jnp.float32),
+        jnp.asarray(np.sin(angles), jnp.float32),
+    )
+
+
+def apply_rope(xq, xk, rope):
+    """Rotate (even, odd) channel pairs of q/k by the precomputed table.
+
+    xq/xk: (B, N, H, Hc); rope: (cos, sin) each (N, Hc/2). Computation in fp32,
+    cast back to input dtype (reference rope.py:49-60 does the same via
+    complex64).
+    """
+    cos, sin = rope
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        even = xf[..., 0::2]
+        odd = xf[..., 1::2]
+        out_even = even * cos - odd * sin
+        out_odd = even * sin + odd * cos
+        out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+        return out.astype(x.dtype)
+
+    return rot(xq), rot(xk)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16):
+    """Scaled dot-product attention with fp32 softmax accumulation.
+
+    q/k/v: (B, N, H, Hc) — head axis kept in dim 2; XLA fuses the transposes.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class RAttention(nn.Module):
+    """RoPE + qk-RMSNorm multi-head self-attention (reference dit_c2i_DeCo.py:148-190)."""
+
+    num_heads: int
+    qkv_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, rope, mask=None):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = RMSNorm(name="q_norm")(q)
+        k = RMSNorm(name="k_norm")(k)
+        q, k = apply_rope(q, k, rope)
+        out = sdpa(q, k, v, mask=mask, dtype=self.dtype)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class JointAttention(nn.Module):
+    """Image-query attention over concat(image kv, text kv); RoPE on image only.
+
+    Reference ``src/models/transformer/dit_t2i_pixnerd.py:16-63`` — the t2i
+    encoder block's attention: q from image tokens, k/v from both image tokens
+    (RoPE'd) and text tokens (no RoPE), with shared k-RMSNorm.
+    """
+
+    num_heads: int
+    qkv_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, y, rope):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv_x = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_x")(x)
+        qkv_x = qkv_x.reshape(b, n, 3, self.num_heads, head_dim)
+        q, kx, vx = qkv_x[:, :, 0], qkv_x[:, :, 1], qkv_x[:, :, 2]
+        q_norm = RMSNorm(name="q_norm")
+        k_norm = RMSNorm(name="k_norm")
+        q = q_norm(q)
+        kx = k_norm(kx)
+        q, kx = apply_rope(q, kx, rope)
+
+        m = y.shape[1]
+        kv_y = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv_y")(y)
+        kv_y = kv_y.reshape(b, m, 2, self.num_heads, head_dim)
+        ky, vy = kv_y[:, :, 0], kv_y[:, :, 1]
+        ky = k_norm(ky)
+
+        k = jnp.concatenate([kx, ky], axis=1)
+        v = jnp.concatenate([vx, vy], axis=1)
+        out = sdpa(q, k, v, dtype=self.dtype)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class FlattenDiTBlock(nn.Module):
+    """adaLN-gated DiT block: RAttention + SwiGLU (reference dit_c2i_DeCo.py:194-210)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c, rope, mask=None):
+        hidden = x.shape[-1]
+        mod = nn.Dense(
+            6 * hidden, dtype=self.dtype, name="adaLN_modulation"
+        )(c)
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mod, 6, axis=-1
+        )
+        h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
+        x = x + gate_msa * RAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(h, rope, mask)
+        h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
+        x = x + gate_mlp * SwiGLU(
+            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(h)
+        return x
+
+
+class JointDiTBlock(nn.Module):
+    """t2i encoder block: joint image-text attention + SwiGLU (dit_t2i_pixnerd.py:66-85)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, y, c, rope):
+        hidden = x.shape[-1]
+        mod = nn.Dense(6 * hidden, dtype=self.dtype, name="adaLN_modulation")(c)
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mod, 6, axis=-1
+        )
+        h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
+        x = x + gate_msa * JointAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(h, y, rope)
+        h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
+        x = x + gate_mlp * SwiGLU(
+            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(h)
+        return x
+
+
+class TextRefineBlock(nn.Module):
+    """Text self-attention refinement block (dit_t2i_pixnerd.py:146-198)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c):
+        b, n, hidden = x.shape
+        head_dim = hidden // self.num_heads
+        mod = nn.Dense(6 * hidden, dtype=self.dtype, name="adaLN_modulation")(c)
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mod, 6, axis=-1
+        )
+        h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
+        qkv = nn.Dense(3 * hidden, use_bias=False, dtype=self.dtype, name="attn_qkv")(h)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = RMSNorm(name="attn_q_norm")(q)
+        k = RMSNorm(name="attn_k_norm")(k)
+        attn_out = sdpa(q, k, v, dtype=self.dtype).reshape(b, n, hidden)
+        attn_out = nn.Dense(hidden, dtype=self.dtype, name="attn_proj")(attn_out)
+        x = x + gate_msa * attn_out
+        h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
+        x = x + gate_mlp * SwiGLU(
+            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(h)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Pixel-decoder building blocks
+# ---------------------------------------------------------------------------
+
+
+def nerf_dct_basis(patch_size: int, max_freqs: int) -> np.ndarray:
+    """Per-pixel 2-D DCT positional features (reference NerfEmbedder :212-248).
+
+    Returns (patch_size**2, max_freqs**2) float32:
+    ``dct[(i,j), (fx,fy)] = cos(x_j*fx*pi) * cos(y_i*fy*pi) / (1 + fx*fy)``
+    with x/y in linspace(0,1) and f in linspace(0, max_freqs, max_freqs).
+    """
+    pos = np.linspace(0, 1, patch_size)
+    y_grid, x_grid = np.meshgrid(pos, pos, indexing="ij")
+    x_flat = x_grid.reshape(-1, 1, 1)
+    y_flat = y_grid.reshape(-1, 1, 1)
+    freqs = np.linspace(0, max_freqs, max_freqs)
+    fx = freqs[None, :, None]
+    fy = freqs[None, None, :]
+    coeffs = (1 + fx * fy) ** -1
+    dct = np.cos(x_flat * fx * np.pi) * np.cos(y_flat * fy * np.pi) * coeffs
+    return dct.reshape(patch_size**2, max_freqs**2).astype(np.float32)
+
+
+class NerfEmbedder(nn.Module):
+    """Concat per-pixel DCT positional basis, then linear embed.
+
+    Input: (..., P^2, C) per-patch pixels; output (..., P^2, hidden).
+    """
+
+    hidden_size: int
+    max_freqs: int = 8
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p2 = x.shape[-2]
+        patch_size = int(round(math.sqrt(p2)))
+        basis = jnp.asarray(nerf_dct_basis(patch_size, self.max_freqs), self.dtype)
+        basis = jnp.broadcast_to(basis, x.shape[:-1] + (self.max_freqs**2,))
+        x = jnp.concatenate([x.astype(self.dtype), basis], axis=-1)
+        return nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="embedder",
+        )(x)
+
+
+class AdaLNResBlock(nn.Module):
+    """Pixel-decoder ResBlock with per-pixel adaLN condition (dit_c2i_DeCo.py:288-331).
+
+    x: (..., P^2, C); y: (..., P^2, C) per-pixel condition.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, y):
+        channels = x.shape[-1]
+        mod = nn.Dense(
+            3 * channels,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )(nn.silu(y))
+        shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 3, axis=-1)
+        h = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="in_ln"
+        )(x)
+        h = modulate(h, shift_mlp, scale_mlp)
+        h = nn.Dense(
+            channels, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name="mlp_0",
+        )(h)
+        h = nn.silu(h)
+        h = nn.Dense(
+            channels, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name="mlp_2",
+        )(h)
+        return x + gate_mlp * h
+
+
+class SimpleMLPAdaLN(nn.Module):
+    """DeCo per-patch pixel decoder (reference dit_c2i_DeCo.py:334-415).
+
+    x: (B, L, P^2, C_in) per-patch pixel features; z: (B, L, z_channels) patch
+    condition. The ``cond_embed`` produces P^2 per-pixel conditions from the
+    patch token — this is the DeCo decoupling mechanism (SURVEY §7): each pixel
+    in the patch gets its own modulation vector.
+    """
+
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    patch_size: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, z):
+        x = nn.Dense(
+            self.model_channels, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name="input_proj",
+        )(x)
+        c = nn.Dense(
+            self.patch_size**2 * self.model_channels,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="cond_embed",
+        )(z)
+        y = c.reshape(c.shape[:-1] + (self.patch_size**2, self.model_channels))
+        for i in range(self.num_res_blocks):
+            x = AdaLNResBlock(dtype=self.dtype, name=f"res_blocks_{i}")(x, y)
+        # final: plain LayerNorm + zero-init linear (FinalLayer :275-291)
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         dtype=self.dtype, name="final_norm")(x)
+        return nn.Dense(
+            self.out_channels,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="final_linear",
+        )(x)
+
+
+class NerfBlock(nn.Module):
+    """Hyper-network pixel-decoder block (PixNerd; reference dit_t2i_pixnerd.py:110-135).
+
+    The patch token generates per-patch MLP weights; fc1 columns are
+    L2-normalized. ``normalize_fc2`` mirrors the c2i variant
+    (dit_c2i_DeCo.py:251-286) which normalizes fc2 as well.
+    """
+
+    mlp_ratio: int = 4
+    normalize_fc2: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, s):
+        hidden_x = x.shape[-1]
+        params = nn.Dense(
+            2 * hidden_x * hidden_x * self.mlp_ratio,
+            dtype=self.dtype,
+            name="param_generator1",
+        )(s)
+        fc1, fc2 = jnp.split(params, 2, axis=-1)
+        fc1 = fc1.reshape(fc1.shape[:-1] + (hidden_x, hidden_x * self.mlp_ratio))
+        fc2 = fc2.reshape(fc2.shape[:-1] + (hidden_x * self.mlp_ratio, hidden_x))
+        # column-normalize (dim=-2 in the reference)
+        fc1 = fc1 / jnp.maximum(
+            jnp.linalg.norm(fc1.astype(jnp.float32), axis=-2, keepdims=True), 1e-12
+        ).astype(fc1.dtype)
+        if self.normalize_fc2:
+            fc2 = fc2 / jnp.maximum(
+                jnp.linalg.norm(fc2.astype(jnp.float32), axis=-2, keepdims=True), 1e-12
+            ).astype(fc2.dtype)
+        res = x
+        h = RMSNorm(name="norm")(x)
+        h = jnp.einsum("...pc,...cd->...pd", h, fc1)
+        h = nn.silu(h)
+        h = jnp.einsum("...pd,...dc->...pc", h, fc2)
+        return h + res

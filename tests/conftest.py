@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+All tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4 test strategy). This must run
+before any jax import: JAX_PLATFORMS is hard-set (the environment presets
+JAX_PLATFORMS=axon for the TPU tunnel, which tests never want).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
