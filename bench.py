@@ -1,0 +1,81 @@
+"""Benchmark: images/sec/chip, DeCo-XL/16 c2i 256px, 50-step Euler CFG sampler.
+
+The BASELINE.json metric. The reference publishes no throughput numbers
+(BASELINE.md) — vs_baseline is reported against a fixed reference constant so
+rounds are comparable: the first measured round's throughput is the baseline
+(recorded here as REFERENCE_IMG_PER_SEC once established).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Use the real TPU when available (JAX_PLATFORMS=axon preset); else CPU smoke.
+import jax
+import jax.numpy as jnp
+
+# Established on TPU v5e-1 in round 1 (this file, batch 32, 50-step Euler CFG).
+REFERENCE_IMG_PER_SEC = 6.80
+
+
+def main():
+    from deco_tpu.diffusion.sampling import EulerSampler
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 32 if on_tpu else 2
+    steps = 50 if on_tpu else 2
+    size = 256 if on_tpu else 32
+    model_kw = dict(
+        in_channels=3, patch_size=16, num_groups=16, hidden_size=1152,
+        hidden_size_x=32, num_blocks=31, num_cond_blocks=28, num_classes=1000,
+    )
+    if not on_tpu:  # tiny smoke config off-TPU
+        model_kw.update(hidden_size=64, num_groups=4, num_blocks=4,
+                        num_cond_blocks=2, hidden_size_x=16, patch_size=8)
+    model = DeCoC2I(**model_kw)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((batch, size, size, 3), jnp.float32)
+    t0 = jnp.zeros((batch,), jnp.float32)
+    y0 = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(model.init)(rng, x0, t0, y0)
+
+    sampler = EulerSampler(
+        scheduler=LinearScheduler(), num_steps=steps, guidance=3.2,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+    )
+    net = lambda x, t, y: model.apply(params, x, t, y)
+    cond = jnp.zeros((batch,), jnp.int32)
+    uncond = jnp.full((batch,), 1000 if on_tpu else 10, jnp.int32)
+
+    @jax.jit
+    def sample(noise):
+        return sampler(net, noise, cond, uncond)
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    sample(noise).block_until_ready()  # compile
+    n_iters = 3 if on_tpu else 1
+    t_start = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(noise)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t_start
+    img_per_sec = batch * n_iters / elapsed
+
+    n_chips = jax.device_count()
+    value = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_decoXL_256px_50step",
+        "value": round(value, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

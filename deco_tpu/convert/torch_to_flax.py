@@ -1,0 +1,322 @@
+"""One-shot PyTorch -> Flax checkpoint converter for DeCo checkpoints.
+
+Handles the reference's exact prefix conventions (SURVEY §5 checkpoint/resume:
+``denoiser.`` / ``ema_denoiser.`` / ``model.`` / ``ema_model.`` / ``.module.``
+(DDP) / ``._orig_mod.`` (torch.compile) — ``src/utils/model_loader.py:10-26``,
+``src/lightning_model.py:333-350`` of hhhhzp/DeCo) and the layout mapping
+between torch and deco_tpu:
+
+- ``nn.Linear`` weight (out, in) -> Dense kernel (in, out) (transpose);
+- the patch-embed input ordering: torch ``unfold`` flattens patches
+  channel-major (c, py, px) while deco_tpu patchify is pixel-major
+  (py, px, c) — the ``s_embedder``/``x_embedder``(baseline) kernel rows are
+  permuted accordingly;
+- per-layer block weights are stacked along axis 0 to match ``nn.scan``
+  parameter trees.
+
+Input is a numpy state dict: ``{name: np.ndarray}``. Use :func:`load_torch_ckpt`
+to read ``.ckpt``/``.pt``/``.safetensors`` files (torch CPU is available in the
+toolchain for exactly this interop path; no torch is used at runtime).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+PREFIXES = ("denoiser.", "ema_denoiser.", "model.", "ema_model.")
+SCRUB = (".module.", "._orig_mod.")
+
+
+def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into a numpy state dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().float().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def clean_key(key: str) -> str:
+    """Scrub DDP/torch.compile prefixes anywhere in the name."""
+    for s in SCRUB:
+        key = key.replace(s, ".")
+    for s in ("module.", "_orig_mod."):
+        while key.startswith(s):
+            key = key[len(s):]
+    return key
+
+
+def select_prefix(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Pick the ``prefix``-scoped sub-dict (e.g. 'ema_denoiser.')."""
+    out = {}
+    for k, v in state.items():
+        k = clean_key(k)
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def _t(w):  # torch Linear weight -> Dense kernel
+    return np.ascontiguousarray(w.T)
+
+
+def _unfold_perm(w, in_channels: int, patch_size: int):
+    """Permute embed kernel rows from unfold (c,py,px) to patchify (py,px,c)."""
+    out_dim = w.shape[0]
+    p2 = patch_size * patch_size
+    wr = w.reshape(out_dim, in_channels, p2)  # (out, c, p2)
+    wr = np.transpose(wr, (2, 1, 0))  # (p2, c, out)
+    return np.ascontiguousarray(wr.reshape(p2 * in_channels, out_dim))
+
+
+def _set(tree: dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _stack_blocks(entries: Dict[int, dict]) -> dict:
+    """Stack per-layer param dicts {i: tree} into one tree with a leading axis."""
+    idxs = sorted(entries)
+    out: dict = {}
+
+    def rec(trees, path):
+        keys = trees[0].keys()
+        for k in keys:
+            vals = [t[k] for t in trees]
+            if isinstance(vals[0], dict):
+                rec(vals, path + [k])
+            else:
+                _set(out, path + [k], np.stack(vals, axis=0))
+
+    rec([entries[i] for i in idxs], [])
+    return out
+
+
+def _convert_dit_block(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """One FlattenDiTBlock / JointDiTBlock / TextRefineBlock."""
+    g = lambda n: sd[prefix + n]
+    block: dict = {
+        "adaLN_modulation": {
+            "kernel": _t(g("adaLN_modulation.0.weight")),
+            "bias": g("adaLN_modulation.0.bias"),
+        },
+        "norm1": {"weight": g("norm1.weight")},
+        "norm2": {"weight": g("norm2.weight")},
+        "mlp": {
+            "w2": {"kernel": _t(g("mlp.w2.weight"))},
+        },
+    }
+    # SwiGLU: either split w1/w3 or fused w12
+    if prefix + "mlp.w1.weight" in sd:
+        block["mlp"]["w1"] = {"kernel": _t(g("mlp.w1.weight"))}
+        block["mlp"]["w3"] = {"kernel": _t(g("mlp.w3.weight"))}
+    else:
+        w12 = g("mlp.w12.weight")
+        half = w12.shape[0] // 2
+        block["mlp"]["w1"] = {"kernel": _t(w12[:half])}
+        block["mlp"]["w3"] = {"kernel": _t(w12[half:])}
+    attn: dict = {}
+    if prefix + "attn.qkv.weight" in sd:  # self-attention (c2i / text-refine)
+        attn["qkv"] = {"kernel": _t(g("attn.qkv.weight"))}
+        if prefix + "attn.qkv.bias" in sd:
+            attn["qkv"]["bias"] = g("attn.qkv.bias")
+    else:  # joint attention (t2i)
+        attn["qkv_x"] = {"kernel": _t(g("attn.qkv_x.weight"))}
+        attn["kv_y"] = {"kernel": _t(g("attn.kv_y.weight"))}
+    attn["q_norm"] = {"weight": g("attn.q_norm.weight")}
+    attn["k_norm"] = {"weight": g("attn.k_norm.weight")}
+    attn["proj"] = {"kernel": _t(g("attn.proj.weight")), "bias": g("attn.proj.bias")}
+    block["attn"] = attn
+    return block
+
+
+def _convert_text_refine_block(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    g = lambda n: sd[prefix + n]
+    return {
+        "adaLN_modulation": {
+            "kernel": _t(g("adaLN_modulation.0.weight")),
+            "bias": g("adaLN_modulation.0.bias"),
+        },
+        "norm1": {"weight": g("norm1.weight")},
+        "norm2": {"weight": g("norm2.weight")},
+        "attn_qkv": {"kernel": _t(g("attn.qkv.weight"))},
+        "attn_q_norm": {"weight": g("attn.q_norm.weight")},
+        "attn_k_norm": {"weight": g("attn.k_norm.weight")},
+        "attn_proj": {
+            "kernel": _t(g("attn.proj.weight")),
+            "bias": g("attn.proj.bias"),
+        },
+        "mlp": {
+            "w1": {"kernel": _t(g("mlp.w1.weight"))},
+            "w3": {"kernel": _t(g("mlp.w3.weight"))},
+            "w2": {"kernel": _t(g("mlp.w2.weight"))},
+        },
+    }
+
+
+def _convert_simple_mlp_adaln(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    g = lambda n: sd[prefix + n]
+    dec: dict = {
+        "input_proj": {"kernel": _t(g("input_proj.weight")),
+                       "bias": g("input_proj.bias")},
+        "cond_embed": {"kernel": _t(g("cond_embed.weight")),
+                       "bias": g("cond_embed.bias")},
+        "final_linear": {"kernel": _t(g("final_layer.linear.weight")),
+                         "bias": g("final_layer.linear.bias")},
+    }
+    i = 0
+    while f"{prefix}res_blocks.{i}.in_ln.weight" in sd:
+        rb = f"{prefix}res_blocks.{i}."
+        dec[f"res_blocks_{i}"] = {
+            "in_ln": {"scale": sd[rb + "in_ln.weight"],
+                      "bias": sd[rb + "in_ln.bias"]},
+            "mlp_0": {"kernel": _t(sd[rb + "mlp.0.weight"]),
+                      "bias": sd[rb + "mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd[rb + "mlp.2.weight"]),
+                      "bias": sd[rb + "mlp.2.bias"]},
+            "adaLN_modulation": {"kernel": _t(sd[rb + "adaLN_modulation.1.weight"]),
+                                 "bias": sd[rb + "adaLN_modulation.1.bias"]},
+        }
+        i += 1
+    return dec
+
+
+def convert_deco_c2i(
+    sd: Dict[str, np.ndarray],
+    in_channels: int = 3,
+    patch_size: int = 16,
+    num_cond_blocks: Optional[int] = None,
+) -> dict:
+    """Convert a reference dit_c2i_DeCo.PixNerDiT state dict to DeCoC2I params."""
+    sd = {clean_key(k): v for k, v in sd.items()}
+    if num_cond_blocks is None:
+        idxs = {int(m.group(1)) for k in sd
+                if (m := re.match(r"blocks\.(\d+)\.", k))}
+        num_cond_blocks = max(idxs) + 1
+    params: dict = {
+        "s_embedder": {
+            "proj": {
+                "kernel": _unfold_perm(sd["s_embedder.proj.weight"], in_channels,
+                                       patch_size),
+                "bias": sd["s_embedder.proj.bias"],
+            }
+        },
+        "t_embedder": {
+            "mlp_0": {"kernel": _t(sd["t_embedder.mlp.0.weight"]),
+                      "bias": sd["t_embedder.mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd["t_embedder.mlp.2.weight"]),
+                      "bias": sd["t_embedder.mlp.2.bias"]},
+        },
+        "y_embedder": {"embedding": sd["y_embedder.embedding_table.weight"]},
+        "x_embedder": {
+            "embedder": {"kernel": _t(sd["x_embedder.embedder.0.weight"]),
+                         "bias": sd["x_embedder.embedder.0.bias"]},
+        },
+        "blocks": {"block": {}},
+        "dec_net": _convert_simple_mlp_adaln("dec_net.", sd),
+    }
+    blocks = {
+        i: _convert_dit_block(f"blocks.{i}.", sd) for i in range(num_cond_blocks)
+    }
+    params["blocks"]["block"] = _stack_blocks(blocks)
+    return params
+
+
+def convert_deco_t2i(
+    sd: Dict[str, np.ndarray],
+    in_channels: int = 3,
+    patch_size: int = 16,
+    num_encoder_blocks: int = 16,
+    num_text_blocks: int = 4,
+    pixnerd: bool = False,
+) -> dict:
+    """Convert a t2i (PixNerd trunk) state dict to DeCoT2I/PixNerdT2I params."""
+    sd = {clean_key(k): v for k, v in sd.items()}
+    trunk: dict = {
+        "s_embedder": {
+            "proj": {
+                "kernel": _unfold_perm(sd["s_embedder.proj.weight"], in_channels,
+                                       patch_size),
+                "bias": sd["s_embedder.proj.bias"],
+            }
+        },
+        "t_embedder": {
+            "mlp_0": {"kernel": _t(sd["t_embedder.mlp.0.weight"]),
+                      "bias": sd["t_embedder.mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd["t_embedder.mlp.2.weight"]),
+                      "bias": sd["t_embedder.mlp.2.bias"]},
+        },
+        "y_embedder": {
+            "proj": {"kernel": _t(sd["y_embedder.proj.weight"]),
+                     "bias": sd["y_embedder.proj.bias"]},
+            "norm": {"weight": sd["y_embedder.norm.weight"]},
+        },
+        "y_pos_embedding": sd["y_pos_embedding"],
+        "text_refine_blocks": {"block": _stack_blocks({
+            i: _convert_text_refine_block(f"text_refine_blocks.{i}.", sd)
+            for i in range(num_text_blocks)
+        })},
+        "blocks": {"block": _stack_blocks({
+            i: _convert_dit_block(f"blocks.{i}.", sd)
+            for i in range(num_encoder_blocks)
+        })},
+    }
+    params: dict = {"trunk": trunk, "x_embedder": {
+        "embedder": {"kernel": _t(sd["x_embedder.embedder.0.weight"]),
+                     "bias": sd["x_embedder.embedder.0.bias"]},
+    }}
+    if pixnerd:
+        i = 0
+        while f"blocks.{num_encoder_blocks + i}.param_generator1.0.weight" in sd:
+            nb = f"blocks.{num_encoder_blocks + i}."
+            params[f"nerf_blocks_{i}"] = {
+                "param_generator1": {
+                    "kernel": _t(sd[nb + "param_generator1.0.weight"]),
+                    "bias": sd[nb + "param_generator1.0.bias"],
+                },
+                "norm": {"weight": sd[nb + "norm.weight"]},
+            }
+            i += 1
+        params["final_linear"] = {
+            "kernel": _t(sd["final_layer.linear.weight"]),
+            "bias": sd["final_layer.linear.bias"],
+        }
+    else:
+        params["dec_net"] = _convert_simple_mlp_adaln("dec_net.", sd)
+    return params
+
+
+def convert_denoiser_ckpt(
+    path: str,
+    model_kind: str = "deco_c2i",
+    use_ema: bool = True,
+    **kwargs,
+) -> dict:
+    """End-to-end: load torch ckpt, pick (ema_)denoiser prefix, convert.
+
+    Mirrors the reference's ModelLoader + app.py loading path
+    (model_loader.py:10-26, app.py:56-63).
+    """
+    raw = load_torch_ckpt(path)
+    prefix = "ema_denoiser." if use_ema else "denoiser."
+    sd = select_prefix(raw, prefix)
+    if not sd:  # bare state dict without the Lightning prefix
+        sd = {clean_key(k): v for k, v in raw.items()}
+    if model_kind == "deco_c2i":
+        return convert_deco_c2i(sd, **kwargs)
+    if model_kind == "deco_t2i":
+        return convert_deco_t2i(sd, **kwargs)
+    if model_kind == "pixnerd_t2i":
+        return convert_deco_t2i(sd, pixnerd=True, **kwargs)
+    raise ValueError(model_kind)

@@ -1,0 +1,142 @@
+"""Host-side data loading: sharding, shuffling, batching, prefetch.
+
+TPU-native replacement for the reference's DataLoader + DistributedSampler
+stack (SURVEY §2.10): per-process sharding keyed on ``jax.process_index()``
+replaces DistributedSampler(num_replicas, rank); a thread-pool prefetcher
+replaces worker processes (decode is PIL/numpy, which releases the GIL for the
+heavy parts). Deterministic epoch reshuffle matches DistributedSampler
+semantics (same seed+epoch -> same permutation on every host).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples):
+    """Stack (x, y, metadata) tuples; metadata values stacked when array-like.
+
+    Mirrors the reference collate (lightning_data.py:30-50): array metadata is
+    stacked, scalars become arrays, non-numeric stay lists.
+    """
+    xs = np.stack([np.asarray(s[0], np.float32) for s in samples])
+    ys_raw = [s[1] for s in samples]
+    if isinstance(ys_raw[0], (int, np.integer)):
+        ys = np.asarray(ys_raw, np.int64)
+    elif isinstance(ys_raw[0], np.ndarray):
+        ys = np.stack(ys_raw)
+    else:
+        ys = ys_raw  # strings (prompts)
+    metadata = {}
+    keys = samples[0][2].keys()
+    for k in keys:
+        vals = [s[2][k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            metadata[k] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            metadata[k] = np.asarray(vals)
+        else:
+            metadata[k] = vals
+    return xs, ys, metadata
+
+
+class ShardedLoader:
+    """Map-style dataset -> per-process shard -> shuffled batches with prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        infinite: bool = False,
+    ):
+        import jax
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.infinite = infinite
+        self.rank = process_index if process_index is not None else jax.process_index()
+        self.world = process_count if process_count is not None else jax.process_count()
+        self.epoch = 0
+
+    def _shard_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            idx = rng.permutation(n)
+        # pad to a multiple of world (DistributedSampler semantics)
+        per = -(-n // self.world)
+        if len(idx) < per * self.world:
+            idx = np.concatenate([idx, idx[: per * self.world - len(idx)]])
+        return idx[self.rank :: self.world]
+
+    def __len__(self):
+        per = -(-len(self.dataset) // self.world)
+        if self.drop_last:
+            return per // self.batch_size
+        return -(-per // self.batch_size)
+
+    def _epoch_batches(self, epoch: int) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self._shard_indices(epoch)
+        nb = len(idx) // self.batch_size if self.drop_last else -(
+            -len(idx) // self.batch_size
+        )
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
+
+            def fetch(bidx):
+                return collate([self.dataset[int(i)] for i in bidx])
+
+            def producer():
+                futures = [pool.submit(fetch, b) for b in batches[: self.prefetch]]
+                next_submit = self.prefetch
+                for i in range(len(batches)):
+                    if stop.is_set():
+                        return
+                    q.put(futures[i].result())
+                    if next_submit < len(batches):
+                        futures.append(pool.submit(fetch, batches[next_submit]))
+                        next_submit += 1
+                q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    yield item
+            finally:
+                stop.set()
+
+    def __iter__(self):
+        epoch = self.epoch
+        while True:
+            yield from self._epoch_batches(epoch)
+            epoch += 1
+            if not self.infinite:
+                break
+        self.epoch = epoch

@@ -1,0 +1,1 @@
+from deco_tpu.parallel import mesh

@@ -1,0 +1,1 @@
+from deco_tpu.train import state, train_step

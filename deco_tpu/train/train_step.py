@@ -1,0 +1,73 @@
+"""The jitted training step: loss + grad + optimizer + EMA in one XLA program.
+
+TPU-native equivalent of the reference's Lightning ``training_step`` +
+backward + DDP all-reduce + AdamW + SimpleEMA pipeline
+(``src/lightning_model.py:205-259`` of hhhhzp/DeCo): under pjit the gradient
+mean over the data axis is a compiler-inserted collective; EMA is a fused
+tree_map; ``diffusion_batch_mul`` replicates latents inside the step so the
+(expensive) condition is computed once (lightning_model.py:223-224).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deco_tpu.train.state import TrainState, ema_update
+
+
+def make_train_step(
+    apply_fn: Callable,
+    trainer,
+    ema_decay: float = 0.9999,
+    ema_every: int = 1,
+    diffusion_batch_mul: int = 1,
+    grad_clip: Optional[float] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    ``apply_fn(params, x_t, t, y)`` is the bound model forward; ``trainer`` is
+    a :mod:`deco_tpu.diffusion.training` objective. Returns
+    ``train_step(state, batch, rng) -> (state, metrics)`` where batch is a
+    dict with ``x`` (NHWC), ``condition``, ``uncondition``.
+    """
+
+    def loss_fn(params, batch, rng):
+        x, cond, uncond = batch["x"], batch["condition"], batch["uncondition"]
+        if diffusion_batch_mul > 1:
+            reps = lambda a: jnp.concatenate([a] * diffusion_batch_mul, axis=0)
+            x, cond, uncond = reps(x), reps(cond), reps(uncond)
+        net = lambda x_t, t, y: apply_fn(params, x_t, t, y)
+        out = trainer(rng, net, x, cond, uncond, batch.get("metadata"))
+        return out["loss"], out
+
+    def train_step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        if grad_clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            metrics = dict(metrics, grad_norm=gnorm)
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if state.ema_params is not None:
+            decay = jnp.where(state.step % ema_every == 0, ema_decay, 1.0)
+            ema_params = ema_update(state.ema_params, params, decay)
+        else:
+            ema_params = None
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,167 @@
+"""Train step + parallelism tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deco_tpu.diffusion.scheduling import DDPMScheduler, LinearScheduler, VPScheduler
+from deco_tpu.diffusion.ddpm_sampling import DDIMSampler, VPEulerSampler
+from deco_tpu.diffusion.training import DeCoTrainer, FlowMatchingTrainer
+from deco_tpu.models.dit_c2i_deco import DeCoC2I
+from deco_tpu.parallel import mesh as mesh_lib
+from deco_tpu.train.state import TrainState, ema_update
+from deco_tpu.train.train_step import make_train_step
+
+
+def tiny_model():
+    return DeCoC2I(
+        in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+        hidden_size_x=8, num_blocks=4, num_cond_blocks=2, num_classes=10,
+    )
+
+
+def make_state_and_step(**step_kw):
+    model = tiny_model()
+    x = jnp.zeros((4, 16, 16, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((4,)), jnp.zeros((4,), jnp.int32)
+    )
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(params, tx)
+    trainer = DeCoTrainer(scheduler=LinearScheduler(), null_condition_p=0.2)
+    apply_fn = lambda p, xt, t, y: model.apply(p, xt, t, y)
+    step = make_train_step(apply_fn, trainer, **step_kw)
+    batch = dict(
+        x=jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3)),
+        condition=jnp.asarray([0, 1, 2, 3]),
+        uncondition=jnp.full((4,), 10),
+    )
+    return state, step, batch
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        state, step, batch = make_state_and_step(donate=False)
+        rng = jax.random.PRNGKey(2)
+        losses = []
+        for i in range(30):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, i % 3))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 30
+
+    def test_ema_tracks_params(self):
+        state, step, batch = make_state_and_step(ema_decay=0.5, donate=False)
+        s1, _ = step(state, batch, jax.random.PRNGKey(0))
+        # ema = 0.5*old + 0.5*new
+        leaf = jax.tree.leaves(s1.params)[0]
+        old = jax.tree.leaves(state.params)[0]
+        ema = jax.tree.leaves(s1.ema_params)[0]
+        np.testing.assert_allclose(ema, 0.5 * old + 0.5 * leaf, atol=1e-6)
+
+    def test_ema_fp32(self):
+        state, _, _ = make_state_and_step()
+        for leaf in jax.tree.leaves(state.ema_params):
+            assert leaf.dtype == jnp.float32
+
+    def test_grad_clip_records_norm(self):
+        state, step, batch = make_state_and_step(grad_clip=1e-9, donate=False)
+        s1, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert "grad_norm" in metrics
+        # with clip tiny, params barely move
+        d = jax.tree.map(lambda a, b: np.abs(a - b).max(), s1.params, state.params)
+        assert max(jax.tree.leaves(d)) < 1e-4
+
+    def test_diffusion_batch_mul(self):
+        """batch_mul replicates latents: loss computed over 2x batch."""
+        state, step, batch = make_state_and_step(diffusion_batch_mul=2, donate=False)
+        _, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = mesh_lib.make_mesh()
+        assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+        mesh2 = mesh_lib.make_mesh(model=2)
+        assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+    def test_sharded_train_step_matches_single_device(self):
+        """DP-sharded train step produces the same loss as unsharded."""
+        state, step, batch = make_state_and_step(donate=False)
+        rng = jax.random.PRNGKey(3)
+        _, m_single = step(state, batch, rng)
+
+        mesh = mesh_lib.make_mesh(model=2)
+        state2, step2, _ = make_state_and_step(donate=False)
+        state2 = state2.replace(
+            params=mesh_lib.shard_params(mesh, state2.params, min_size=2**10),
+            ema_params=mesh_lib.shard_params(mesh, state2.ema_params, min_size=2**10),
+        )
+        sbatch = mesh_lib.shard_batch(mesh, batch)
+        with jax.set_mesh(mesh):
+            _, m_sharded = step2(state2, sbatch, rng)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+        )
+
+    def test_param_partition_spec(self):
+        big = jnp.zeros((2048, 1024))
+        small = jnp.zeros((16,))
+        spec_big = mesh_lib.param_partition_spec(big, model_axis_size=2, min_size=2**10)
+        spec_small = mesh_lib.param_partition_spec(small, model_axis_size=2, min_size=2**10)
+        assert spec_big == jax.sharding.PartitionSpec("model", None)
+        assert spec_small == jax.sharding.PartitionSpec()
+
+
+class TestDDPMSamplers:
+    def test_ddim_shapes(self):
+        sampler = DDIMSampler(
+            scheduler=DDPMScheduler(num_steps=100), train_num_steps=100,
+            num_steps=5, guidance=1.0,
+        )
+        net = lambda x, t, y: jnp.zeros_like(x)
+        out = sampler(net, jnp.ones((2, 8, 8, 3)), jnp.zeros((2,)), jnp.zeros((2,)))
+        assert out.shape == (2, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddim_perfect_eps_recovers_x0(self):
+        """If net returns the exact eps, DDIM recovers x0 in one step."""
+        sched = DDPMScheduler(num_steps=100)
+        x0_true = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
+        eps_true = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 3), jnp.float32)
+        t99 = jnp.full((2,), 99)
+        from deco_tpu.diffusion.scheduling import bcast_right
+        x_t = (bcast_right(sched.alpha(t99), 4) * x0_true
+               + bcast_right(sched.sigma(t99), 4) * eps_true)
+        net = lambda x, t, y: jnp.concatenate([eps_true, eps_true], axis=0)
+        sampler = DDIMSampler(
+            scheduler=sched, train_num_steps=100, num_steps=100, guidance=1.0
+        )
+        # run: x starts at x_t99... full chain with exact eps stays consistent:
+        out = sampler(net, x_t, jnp.zeros((2,)), jnp.zeros((2,)))
+        # final x = alpha(0)*x0 + sigma(0)*eps; alpha(0)~1, sigma(0)~0.01
+        expected = (bcast_right(sched.alpha(jnp.zeros(2)), 4) * x0_true
+                    + bcast_right(sched.sigma(jnp.zeros(2)), 4) * eps_true)
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_vp_euler_finite(self):
+        sampler = VPEulerSampler(
+            scheduler=VPScheduler(), num_steps=8, guidance=1.0,
+        )
+        net = lambda x, t, y: jnp.zeros_like(x)
+        out = sampler(net, jnp.ones((2, 8, 8, 3)), jnp.zeros((2,)), jnp.zeros((2,)))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_vp_euler_sde_finite(self):
+        sampler = VPEulerSampler(
+            scheduler=VPScheduler(), num_steps=8, guidance=1.0, step_fn="sde",
+        )
+        net = lambda x, t, y: jnp.zeros_like(x)
+        out = sampler(
+            net, jnp.ones((2, 8, 8, 3)), jnp.zeros((2,)), jnp.zeros((2,)),
+            rng=jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(np.asarray(out)).all()
