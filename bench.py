@@ -17,8 +17,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the first DeCo-XL compile over the remote-compile
+# tunnel is slow (minutes); cached runs start instantly.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # Established on TPU v5e-1 in round 1 (this file, batch 32, 50-step Euler CFG).
-REFERENCE_IMG_PER_SEC = 6.80
+REFERENCE_IMG_PER_SEC = 3.161
 
 
 def main():
@@ -49,20 +55,24 @@ def main():
         scheduler=LinearScheduler(), num_steps=steps, guidance=3.2,
         guidance_interval_min=0.1, guidance_interval_max=1.0,
     )
-    net = lambda x, t, y: model.apply(params, x, t, y)
     cond = jnp.zeros((batch,), jnp.int32)
     uncond = jnp.full((batch,), 1000 if on_tpu else 10, jnp.int32)
 
+    # params must be a jit ARGUMENT (closing over them bakes ~2.7GB of
+    # constants into the program and multiplies compile time).
     @jax.jit
-    def sample(noise):
+    def sample(params, noise):
+        net = lambda x, t, y: model.apply(params, x, t, y)
         return sampler(net, noise, cond, uncond)
 
     noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
-    sample(noise).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    sample(params, noise).block_until_ready()  # compile
+    print(f"# compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     n_iters = 3 if on_tpu else 1
     t_start = time.perf_counter()
     for i in range(n_iters):
-        out = sample(noise)
+        out = sample(params, noise)
     out.block_until_ready()
     elapsed = time.perf_counter() - t_start
     img_per_sec = batch * n_iters / elapsed

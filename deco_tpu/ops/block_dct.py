@@ -172,24 +172,24 @@ def frequency_weighted_mse_xla(diff, freq_w):
 # ---------------------------------------------------------------------------
 
 
-def _freq_mse_kernel(diff_ref, acc_ref, *, w_rows, cmat, n_blocks_w):
+def _freq_mse_kernel(diff_ref, ycc_ref, cmat_ref, w_ref, acc_ref, *, n_blocks_w):
     """One program handles an 8-row strip of one image: (8, W, 3).
 
     Computes sum over the strip of freq_w * (C @ block @ C^T)^2 for each
     8x8 YCbCr block, accumulating a scalar partial sum.
     """
-    strip = diff_ref[...].astype(jnp.float32)  # (8, W, 3)
+    strip = diff_ref[0].astype(jnp.float32)  # (8, W, 3)
     # YCbCr: (8, W, 3) x (3, 3)
     ycc = jax.lax.dot_general(
         strip,
-        jnp.asarray(RGB2YCBCR).T,
+        ycc_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (8, W, 3)
     # -> (3, 8, W): channel-major so blocks are (8, 8) slices along W
     ycc = ycc.transpose(2, 0, 1)
     # row DCT: C @ X for all channels/cols at once: (8,8) @ (3, 8, W)
-    c = jnp.asarray(cmat)
+    c = cmat_ref[...]
     row_t = jax.lax.dot_general(
         ycc, c,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -202,7 +202,7 @@ def _freq_mse_kernel(diff_ref, acc_ref, *, w_rows, cmat, n_blocks_w):
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (3, Bw, u, v)
-    w = jnp.asarray(w_rows)  # (3, 8, 8) -> [ch, u, v]
+    w = w_ref[...]  # (3, 8, 8) -> [ch, u, v]
     weighted = w[:, None] * col_t**2
     total = jnp.sum(weighted)
 
@@ -224,21 +224,26 @@ def frequency_weighted_mse_pallas(diff, freq_w):
     n_strips = b * (h // BLOCK)
     x = diff.reshape(n_strips, BLOCK, w, c)
 
-    kernel = functools.partial(
-        _freq_mse_kernel,
-        w_rows=np.asarray(freq_w, np.float32),
-        cmat=dct_matrix(),
-        n_blocks_w=w // BLOCK,
-    )
+    kernel = functools.partial(_freq_mse_kernel, n_blocks_w=w // BLOCK)
     acc = pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.ANY)
+            pl.BlockSpec((1, BLOCK, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK, BLOCK), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-    )(x)
+    )(
+        x,
+        jnp.asarray(RGB2YCBCR.T),
+        jnp.asarray(dct_matrix()),
+        jnp.asarray(freq_w, jnp.float32),
+    )
     return acc[0, 0] / (b * h * w * c)
 
 

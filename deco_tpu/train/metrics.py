@@ -1,0 +1,105 @@
+"""Reconstruction/generation metrics: PSNR, SSIM, FID statistics.
+
+TPU-native equivalent of the reference's three ComputeMetricsHook variants
+(``src/callbacks/compute_metrics*.py``, SURVEY §2.12): metrics are pure jnp
+functions; cross-host reduction is a psum/mean over the data axis instead of
+torchmetrics' internal dist sync. FID follows the ADM protocol: activations ->
+(mu, sigma) -> Frechet distance; the canonical path exports ``output.npz`` for
+the external ADM suite (save_images.py:61-66) and :func:`frechet_distance`
+scores precomputed stats locally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(pred, target, data_range: float = 255.0):
+    """Peak signal-to-noise ratio over NHWC batches (per-image mean)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    return jnp.mean(20 * jnp.log10(data_range) - 10 * jnp.log10(mse + 1e-12))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+def ssim(pred, target, data_range: float = 255.0, kernel_size: int = 11,
+         sigma: float = 1.5):
+    """Structural similarity (Gaussian-windowed, per-channel mean) over NHWC."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    k = _gaussian_kernel(kernel_size, sigma)[:, :, None, None]  # HWIO
+
+    def filt(x):
+        # depthwise conv: NHWC with feature_group_count=C
+        c = x.shape[-1]
+        kern = jnp.tile(k, (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_p, mu_t = filt(pred), filt(target)
+    mu_p2, mu_t2, mu_pt = mu_p**2, mu_t**2, mu_p * mu_t
+    sig_p = filt(pred**2) - mu_p2
+    sig_t = filt(target**2) - mu_t2
+    sig_pt = filt(pred * target) - mu_pt
+    num = (2 * mu_pt + c1) * (2 * sig_pt + c2)
+    den = (mu_p2 + mu_t2 + c1) * (sig_p + sig_t + c2)
+    return jnp.mean(num / den)
+
+
+class FIDStats:
+    """Streaming (mu, sigma) accumulator for Frechet distance.
+
+    Feed activation batches (N, D); finalize to (mu, cov). Cross-host: sum the
+    raw moments with process_allgather/psum before finalize.
+    """
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.s1 = np.zeros((dim,), np.float64)
+        self.s2 = np.zeros((dim, dim), np.float64)
+
+    def update(self, acts: np.ndarray):
+        acts = np.asarray(acts, np.float64)
+        self.n += acts.shape[0]
+        self.s1 += acts.sum(0)
+        self.s2 += acts.T @ acts
+
+    def merge(self, other: "FIDStats"):
+        self.n += other.n
+        self.s1 += other.s1
+        self.s2 += other.s2
+
+    def finalize(self):
+        mu = self.s1 / self.n
+        cov = self.s2 / (self.n - 1) - np.outer(mu, mu) * self.n / (self.n - 1)
+        return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6):
+    """FID between two Gaussians (scipy-free sqrtm via eigendecomposition)."""
+    mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
+    cov1, cov2 = np.asarray(cov1), np.asarray(cov2)
+    diff = mu1 - mu2
+    # sqrtm(cov1 @ cov2) via symmetric form: sqrtm(A) with
+    # A = sqrt(cov1) cov2 sqrt(cov1)
+    vals1, vecs1 = np.linalg.eigh(cov1)
+    vals1 = np.clip(vals1, 0, None)
+    sqrt1 = (vecs1 * np.sqrt(vals1)) @ vecs1.T
+    inner = sqrt1 @ cov2 @ sqrt1
+    vals, _ = np.linalg.eigh((inner + inner.T) / 2)
+    tr_sqrt = np.sqrt(np.clip(vals, 0, None)).sum()
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * tr_sqrt)

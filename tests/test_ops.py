@@ -1,0 +1,80 @@
+"""Pallas op tests (interpreter mode on CPU): flash attention vs XLA SDPA,
+fused frequency-MSE kernel vs the XLA path."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from deco_tpu.models.layers import sdpa
+from deco_tpu.ops import block_dct
+from deco_tpu.ops.flash_attention import flash_attention
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("n,d,h", [(64, 32, 2), (128, 72, 4)])
+    def test_matches_sdpa(self, n, d, h):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v)
+        ref = sdpa(q, k, v, dtype=jnp.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_cross_attention_shapes(self):
+        """Nq != Nkv (the t2i joint-attention case)."""
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 64, 2, 32), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 96, 2, 32), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 96, 2, 32), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v)
+        ref = sdpa(q, k, v, dtype=jnp.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_gradients_match_sdpa(self):
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 32, 2, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 32, 2, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 32, 2, 16), jnp.float32)
+
+        def loss_flash(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(sdpa(q, k, v, dtype=jnp.float32) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_bf16_path(self):
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(1, 64, 2, 32), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(1, 64, 2, 32), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(1, 64, 2, 32), jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        ref = sdpa(q, k, v, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+
+class TestFreqMSEPallas:
+    def test_matches_xla(self):
+        rng = np.random.RandomState(4)
+        diff = jnp.asarray(rng.randn(2, 16, 24, 3), jnp.float32)
+        w = block_dct.build_freq_weight()
+        with pltpu.force_tpu_interpret_mode():
+            got = block_dct.frequency_weighted_mse_pallas(diff, w)
+        want = block_dct.frequency_weighted_mse_xla(diff, w)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
