@@ -80,14 +80,16 @@ class ShardedLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + epoch)
             idx = rng.permutation(n)
-        # pad to a multiple of world (DistributedSampler semantics)
-        per = -(-n // self.world)
-        if len(idx) < per * self.world:
-            idx = np.concatenate([idx, idx[: per * self.world - len(idx)]])
+        # pad to a multiple of world (DistributedSampler semantics), and to at
+        # least one full batch per shard so tiny datasets still train
+        per = max(-(-n // self.world), self.batch_size if self.drop_last else 1)
+        target = per * self.world
+        while len(idx) < target:
+            idx = np.concatenate([idx, idx[: target - len(idx)]])
         return idx[self.rank :: self.world]
 
     def __len__(self):
-        per = -(-len(self.dataset) // self.world)
+        per = len(self._shard_indices(0))
         if self.drop_last:
             return per // self.batch_size
         return -(-per // self.batch_size)

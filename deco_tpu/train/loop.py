@@ -122,7 +122,9 @@ class Experiment:
 
         data_cfg = self.config["data"]
         dataset = registry.instantiate(data_cfg["train_dataset"])
-        batch_size = data_cfg.get("train_batch_size", 32)
+        # reference batch sizes are per-device (per-GPU); global = x data axis
+        batch_size = data_cfg.get("train_batch_size", 32) * self.mesh.shape[
+            mesh_lib.DATA_AXIS]
         loader = ShardedLoader(
             dataset, batch_size,
             num_workers=data_cfg.get("train_num_workers", 4), infinite=True,
@@ -177,7 +179,8 @@ class Experiment:
 
         data_cfg = self.config["data"]
         dataset = registry.instantiate(data_cfg[dataset_key])
-        batch_size = data_cfg.get("pred_batch_size", 32)
+        batch_size = data_cfg.get("pred_batch_size", 32) * self.mesh.shape[
+            mesh_lib.DATA_AXIS]
         loader = ShardedLoader(
             dataset, batch_size, shuffle=False, drop_last=True,
             num_workers=data_cfg.get("pred_num_workers", 1),
