@@ -82,13 +82,19 @@ class BaseTrainer:
             condition = jnp.where(mask, uncondition, condition)
         return x, condition
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def init_params(self, rng):
+        """Trainable trainer-owned params (e.g. the REPA projection); {} if none."""
+        return {}
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         raise NotImplementedError
 
-    def __call__(self, rng, net, x, condition, uncondition, metadata=None):
+    def __call__(self, rng, net, x, condition, uncondition, metadata=None,
+                 params=None):
         rng_drop, rng_step = jax.random.split(rng)
         x, condition = self.preprocess(rng_drop, x, condition, uncondition)
-        return self._impl_trainstep(rng_step, net, x, condition, metadata)
+        return self._impl_trainstep(rng_step, net, x, condition, metadata,
+                                    params=params)
 
 
 class FlowMatchingTrainer(BaseTrainer):
@@ -115,7 +121,7 @@ class FlowMatchingTrainer(BaseTrainer):
             t = jax.random.uniform(rng, (batch_size,))
         return time_shift_fn(t, self.timeshift)
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_t, rng_noise = jax.random.split(rng)
         batch_size = x.shape[0]
         t = self._sample_t(rng_t, batch_size)
@@ -176,7 +182,7 @@ class DeCoTrainer(BaseTrainer):
             quality=freq_quality, mode=freq_mode, gamma=freq_gamma
         )
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
         batch_size = x.shape[0]
         t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
@@ -210,6 +216,107 @@ class DeCoTrainer(BaseTrainer):
         return losses
 
 
+class _REPAProj(object):
+    """3-layer SiLU projection MLP (reference training_repa.py:55-63).
+
+    Defined lazily to keep flax out of the module import path for the pure
+    math users.
+    """
+
+    def __new__(cls, hidden_dim, out_dim):
+        from flax import linen as nn
+
+        class Proj(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Dense(hidden_dim, name="fc0")(x)
+                x = nn.silu(x)
+                x = nn.Dense(hidden_dim, name="fc1")(x)
+                x = nn.silu(x)
+                return nn.Dense(out_dim, name="fc2")(x)
+
+        return Proj()
+
+
+class REPATrainer(DeCoTrainer):
+    """REPA feature-alignment trainer (reference training_repa.py:29-121).
+
+    FM velocity loss + cosine-similarity alignment between a projected
+    denoiser feature (tapped at DiT block ``align_layer``) and frozen-encoder
+    features of the raw image. The projection MLP is trainer-owned trainable
+    state (``init_params``), mirroring the reference's trainer ``state_dict``.
+
+    The frozen encoder runs in-graph when ``encoder`` is a jax callable
+    ``(B, H, W, 3) in [0,1] -> (B, N, D)``; alternatively the input pipeline
+    precomputes features into ``metadata['repa_features']`` (the idiomatic TPU
+    layout for torch-hub encoders that can't trace into XLA).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._proj = _REPAProj(kwargs.get("proj_hidden_dim", 256),
+                               kwargs.get("proj_encoder_dim", 256))
+        self._proj_in_dim = kwargs.get("proj_denoiser_dim", 256)
+
+    def init_params(self, rng):
+        return self._proj.init(rng, jnp.zeros((1, 1, self._proj_in_dim)))[
+            "params"
+        ]
+
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
+        rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
+        batch_size = x.shape[0]
+        t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
+        t_uniform = jax.random.uniform(rng_u, (batch_size,))
+        base_t = jnp.where(
+            jax.random.uniform(rng_mix, (batch_size,)) <= self.lognorm_mix_p,
+            t_lognorm, t_uniform,
+        )
+        t = time_shift_fn(base_t, self.timeshift)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        alpha, dalpha, sigma, dsigma = (
+            bcast_right(c, x.ndim) for c in self.scheduler.isotropic_coeffs(t)
+        )
+        x_t = alpha * x + noise * sigma
+        v_t = dalpha * x + dsigma * noise
+
+        out, feat = net(x_t, t, y, return_features=True)
+        src_feature = self._proj.apply({"params": params}, feat)
+
+        dst_feature = None
+        if metadata is not None and "repa_features" in metadata:
+            dst_feature = jax.lax.stop_gradient(metadata["repa_features"])
+        elif self.encoder is not None:
+            raw = metadata["raw_image"]  # (B, H, W, 3) in [0,1]
+            dst_feature = jax.lax.stop_gradient(self.encoder(raw))
+        losses = {}
+        if dst_feature is not None:
+            n = dst_feature.shape[1]
+            if src_feature.shape[1] != n:
+                src_feature = src_feature[:, :n]
+            sf = src_feature.astype(jnp.float32)
+            df = dst_feature.astype(jnp.float32)
+            cos = jnp.sum(sf * df, -1) / (
+                jnp.linalg.norm(sf, axis=-1) * jnp.linalg.norm(df, axis=-1) + 1e-8
+            )
+            cos_loss = (1 - cos).mean()
+        else:
+            cos_loss = jnp.float32(0.0)
+
+        weight = self.loss_weight_fn(alpha, sigma)
+        fm_loss = (
+            weight * (out.astype(jnp.float32) - v_t.astype(jnp.float32)) ** 2
+        ).mean()
+        total = fm_loss + self.feat_loss_weight * cos_loss
+        losses.update(fm_loss=fm_loss, cos_loss=cos_loss, loss=total)
+        if self.enable_freq_loss:
+            diff = out.astype(jnp.float32) - v_t.astype(jnp.float32)
+            freq_loss = block_dct.frequency_weighted_mse(diff, self.freq_w)
+            losses["fm_loss_freq"] = freq_loss
+            losses["loss"] = losses["loss"] + self.freq_loss_weight * freq_loss
+        return losses
+
+
 class JiTTrainer(BaseTrainer):
     """x-prediction flow matching (reference training_repa_JiT.py).
 
@@ -233,7 +340,7 @@ class JiTTrainer(BaseTrainer):
         self.timeshift = timeshift
         self.lognorm_mix_p = lognorm_mix_p
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
         batch_size = x.shape[0]
         t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
@@ -272,7 +379,7 @@ class VPTrainer(BaseTrainer):
         self.train_max_t = train_max_t
         self.lognorm_t = lognorm_t
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_t, rng_noise = jax.random.split(rng)
         batch_size = x.shape[0]
         if self.lognorm_t:
@@ -304,7 +411,7 @@ class DDPMTrainer(BaseTrainer):
         self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
         self.train_max_t = train_max_t
 
-    def _impl_trainstep(self, rng, net, x, y, metadata=None):
+    def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_t, rng_noise = jax.random.split(rng)
         batch_size = x.shape[0]
         t = jax.random.randint(rng_t, (batch_size,), 0, self.train_max_t)

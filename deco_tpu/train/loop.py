@@ -51,6 +51,17 @@ class Experiment:
         self.conditioner = registry.instantiate(model_cfg["conditioner"])
         self.trainer = registry.instantiate(model_cfg["diffusion_trainer"])
         self.sampler = registry.instantiate(model_cfg["diffusion_sampler"])
+        # REPA needs the model's feature tap wired to the trainer's align layer
+        from deco_tpu.diffusion.training import REPATrainer
+
+        if isinstance(self.trainer, REPATrainer) and hasattr(
+            self.model, "align_layer"
+        ):
+            import dataclasses
+
+            self.model = dataclasses.replace(
+                self.model, align_layer=self.trainer.align_layer
+            )
         self.ema_cfg = registry.instantiate(
             model_cfg.get("ema_tracker", {"class_path":
                 "src.callbacks.simple_ema.SimpleEMA"})
@@ -104,10 +115,13 @@ class Experiment:
 
     def init_state(self, sample_x, sample_cond) -> TrainState:
         t = jnp.zeros((sample_x.shape[0],), jnp.float32)
-        params = jax.jit(self.model.init)(
-            jax.random.PRNGKey(self.config.get("seed", 0)), sample_x, t,
-            sample_cond,
-        )
+        rng = jax.random.PRNGKey(self.config.get("seed", 0))
+        params = jax.jit(self.model.init)(rng, sample_x, t, sample_cond)
+        trainer_params = self.trainer.init_params(jax.random.fold_in(rng, 1))
+        if trainer_params:
+            # combined layout: trainer-owned trainable state (REPA proj) rides
+            # in the same optimizer (reference 3-param-group AdamW semantics)
+            params = {"model": params, "trainer": trainer_params}
         tx = self.opt_cfg.build()
         state = TrainState.create(params, tx)
         return state.replace(
@@ -140,7 +154,7 @@ class Experiment:
         elif ckpt.latest_step() is not None:
             state = ckpt.restore(state)
 
-        apply_fn = lambda p, xt, t, y: self.model.apply(p, xt, t, y)
+        apply_fn = lambda p, xt, t, y, **kw: self.model.apply(p, xt, t, y, **kw)
         step_fn = make_train_step(
             apply_fn, self.trainer,
             ema_decay=self.ema_cfg.decay,
@@ -192,6 +206,8 @@ class Experiment:
                 state = CheckpointManager(ckpt_path, 0).restore(state)
         params = state.ema_params if use_ema and state.ema_params is not None \
             else state.params
+        if isinstance(params, dict) and "model" in params:
+            params = params["model"]
 
         sampler = self.sampler
 

@@ -42,8 +42,14 @@ def make_train_step(
         if diffusion_batch_mul > 1:
             reps = lambda a: jnp.concatenate([a] * diffusion_batch_mul, axis=0)
             x, cond, uncond = reps(x), reps(cond), reps(uncond)
-        net = lambda x_t, t, y: apply_fn(params, x_t, t, y)
-        out = trainer(rng, net, x, cond, uncond, batch.get("metadata"))
+        # combined layout {"model":..., "trainer":...} carries trainer-owned
+        # trainable state (e.g. the REPA projection); plain pytree = model only
+        combined = isinstance(params, dict) and "model" in params
+        model_params = params["model"] if combined else params
+        trainer_params = params.get("trainer") if combined else None
+        net = lambda x_t, t, y, **kw: apply_fn(model_params, x_t, t, y, **kw)
+        out = trainer(rng, net, x, cond, uncond, batch.get("metadata"),
+                      params=trainer_params)
         return out["loss"], out
 
     def train_step(state: TrainState, batch, rng):
