@@ -1,0 +1,275 @@
+"""UniFlow unified understanding+generation model (Flax).
+
+Parity with reference ``UniFlowVisionModel``
+(``src/models/uniflow/modeling_uniflow.py:1227-1677`` of hhhhzp/DeCo, config
+``src/models/uniflow/config.json``): shared InternViT-style encoder (24L
+h1024 p14) + 4-layer shallow encoder; condition-gated LatentProjector to a
+layer-normed 256-d latent grid; a causal semantic branch reconstructing
+(teacher-normed) ViT tokens through a FlowDecoder + mlp1 distillation; and a
+pixel branch (token upsample x2 -> 6 DiT blocks with sincos+RoPE positions ->
+per-patch FlowDecoder) with optional LPIPS.
+
+The LPIPS tower is injected as ``lpips_fn`` (a frozen jax callable) — frozen
+perceptual towers live outside the trainable module in deco_tpu.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from deco_tpu.models import layers as L
+from deco_tpu.models.uniflow import components as C
+from deco_tpu.models.uniflow.flow_decoder import FlowDecoder
+from deco_tpu.models.uniflow.vit import ViTConfig, VisionModel
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniFlowConfig:
+    """Subset of UniFlowVisionConfig driving the architecture (config.json)."""
+
+    vit_hidden_size: int = 1024
+    llm_hidden_size: int = 1536
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    patch_size: int = 14
+    image_size: int = 448
+    latent_ch: int = 32
+    global_blocks_depth: int = 6
+    num_decoder_layers: int = 12
+    num_sampling_steps: int = 4
+    qkv_bias: bool = True
+    qk_normalization: bool = False
+    norm_type: str = "layer_norm"
+    enable_semantic_branch: bool = True
+    enable_pixel_branch: bool = True
+
+    def vit(self, num_layers=None) -> ViTConfig:
+        return ViTConfig(
+            hidden_size=self.vit_hidden_size,
+            num_layers=num_layers or self.num_hidden_layers,
+            num_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            patch_size=self.patch_size,
+            image_size=self.image_size,
+            qkv_bias=self.qkv_bias,
+            qk_normalization=self.qk_normalization,
+            norm_type=self.norm_type,
+        )
+
+
+class UniFlowVision(nn.Module):
+    cfg: UniFlowConfig = UniFlowConfig()
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        vh = cfg.vit_hidden_size
+        self.embeddings_encoder = VisionModel(
+            cfg.vit(), dtype=self.dtype, name="vision"
+        )
+        self.shallow = VisionModel(
+            cfg.vit(num_layers=4), dtype=self.dtype, name="shallow"
+        )
+        # mlp1: LayerNorm(4*vh) -> Linear(llm) -> GELU -> Linear(llm)
+        self.mlp1_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="mlp1_norm")
+        self.mlp1_fc1 = nn.Dense(cfg.llm_hidden_size, dtype=self.dtype,
+                                 name="mlp1_fc1")
+        self.mlp1_fc2 = nn.Dense(cfg.llm_hidden_size, dtype=self.dtype,
+                                 name="mlp1_fc2")
+        self.shared_latent_proj = C.LatentProjector(
+            out_channels=256, num_res_blocks=3, dtype=self.dtype,
+            name="shared_latent_proj",
+        )
+        grid = cfg.image_size // cfg.patch_size
+
+        if cfg.enable_pixel_branch:
+            self.gen_proj_fc1 = nn.Dense(4 * vh, dtype=self.dtype,
+                                         name="gen_latent_proj_fc1")
+            self.gen_proj_fc2 = nn.Dense(vh, dtype=self.dtype,
+                                         name="gen_latent_proj_fc2")
+            sincos = C.get_2d_sincos_pos_embed(vh, grid)
+            self.global_block_pos_embed = self.param(
+                "global_block_pos_embed",
+                lambda rng: jnp.asarray(sincos)[None],
+            )
+            self.global_blocks = [
+                C.PlainDiTBlock(num_heads=16, mlp_ratio=4.0, dtype=self.dtype,
+                                name=f"global_blocks_{i}")
+                for i in range(cfg.global_blocks_depth)
+            ]
+            self.flow_head = FlowDecoder(
+                target_channels=3 * cfg.patch_size**2,
+                z_channels=vh, width=vh, depth=cfg.num_decoder_layers,
+                num_sampling_steps=cfg.num_sampling_steps,
+                patch_size=cfg.patch_size, max_freqs=32, dtype=self.dtype,
+                name="flow_head",
+            )
+
+        if cfg.enable_semantic_branch:
+            self.sem_proj_fc1 = nn.Dense(4 * vh, dtype=self.dtype,
+                                         name="sem_latent_proj_fc1")
+            self.sem_proj_fc2 = nn.Dense(2 * vh, dtype=self.dtype,
+                                         name="sem_latent_proj_fc2")
+            sem_sincos = C.get_2d_sincos_pos_embed(2 * vh, grid // 2)
+            self.sem_global_block_pos_embed = self.param(
+                "sem_global_block_pos_embed",
+                lambda rng: jnp.asarray(sem_sincos)[None],
+            )
+            self.sem_global_blocks = [
+                C.PlainDiTBlock(num_heads=32, mlp_ratio=4.0, is_causal=True,
+                                dtype=self.dtype, name=f"sem_global_blocks_{i}")
+                for i in range(cfg.global_blocks_depth)
+            ]
+            self.sem_flow_head = FlowDecoder(
+                target_channels=vh * 4, z_channels=2 * vh, width=2048, depth=4,
+                num_sampling_steps=cfg.num_sampling_steps, patch_size=1,
+                max_freqs=32, dtype=self.dtype, name="sem_flow_head",
+            )
+
+    # ---- pieces ----
+
+    def mlp1(self, x):
+        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(self.mlp1_norm(x))))
+
+    def _normalize(self, pixel_values, normalize_type="siglip"):
+        if normalize_type == "siglip":
+            x = pixel_values * 0.5 + 0.5
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            return x
+        return pixel_values
+
+    def forward_encoder(self, pixel_values, normalize_type="siglip"):
+        """Returns (sem_tokens_downsampled, sem_tokens_after_mlp, latent)."""
+        x = self._normalize(pixel_values, normalize_type)
+        shallow_hidden, _ = self.shallow(x)
+        shallow_hidden = shallow_hidden[:, 1:]
+        hidden, _ = self.embeddings_encoder(x)
+        sem_tokens = hidden[:, 1:]
+        latent = self.shared_latent_proj(sem_tokens, shallow_hidden)
+        latent = _param_free_layer_norm(latent, eps=1e-5)
+        sem_down = C.resample_tokens(sem_tokens, 0.5)
+        sem_after_mlp = self.mlp1(sem_down)
+        return sem_down, sem_after_mlp, latent
+
+    def _run_pixel_trunk(self, latent):
+        up = C.resample_tokens(latent, 2.0)
+        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(up)))
+        b, n, c = cond.shape
+        grid = int(round(np.sqrt(n)))
+        pos_embed = _interp_pos(self.global_block_pos_embed, grid)
+        cond = cond + pos_embed.astype(cond.dtype)
+        # reference hard-codes head_dim=64 (fetch_pos, :1406); equal to c/16
+        rope = L.precompute_rope_2d(c // 16, grid, grid)
+        for block in self.global_blocks:
+            cond = block(cond, rope)
+        return cond, rope
+
+    def _run_semantic_trunk(self, latent):
+        cond = self.sem_proj_fc2(nn.gelu(self.sem_proj_fc1(latent)))
+        b, n, c = cond.shape
+        grid = int(round(np.sqrt(n)))
+        pos_embed = _interp_pos(self.sem_global_block_pos_embed, grid)
+        cond = cond + pos_embed.astype(cond.dtype)
+        rope = L.precompute_rope_2d(c // 32, grid, grid)
+        for block in self.sem_global_blocks:
+            cond = block(cond, rope)
+        return cond, rope
+
+    # ---- training ----
+
+    def forward_loss(self, pixel_values, rng, teacher_feat=None,
+                     lpips_fn: Optional[Callable] = None):
+        cfg = self.cfg
+        sem_down, sem_after_mlp, latent = self.forward_encoder(pixel_values)
+        losses = {}
+        total = 0.0
+        rng_sem, rng_pix = jax.random.split(rng)
+
+        if cfg.enable_semantic_branch:
+            if teacher_feat is not None:
+                target = _param_free_layer_norm(teacher_feat["vit_embeds"])
+            else:
+                target = _param_free_layer_norm(sem_down)
+            cond, _ = self._run_semantic_trunk(latent)
+            sem_out = self.sem_flow_head.forward_train(
+                target.astype(jnp.float32), cond, rng_sem
+            )
+            pred_after_mlp = self.mlp1(sem_out["pred"].astype(self.dtype))
+            if teacher_feat is not None:
+                distill = jnp.mean(
+                    (pred_after_mlp.astype(jnp.float32)
+                     - teacher_feat["vit_embeds_mlp"].astype(jnp.float32)) ** 2
+                )
+                vit_distill = jnp.mean(
+                    (sem_down.astype(jnp.float32)
+                     - teacher_feat["vit_embeds"].astype(jnp.float32)) ** 2
+                )
+            else:
+                distill = jnp.mean(
+                    (pred_after_mlp.astype(jnp.float32)
+                     - sem_after_mlp.astype(jnp.float32)) ** 2
+                )
+                vit_distill = jnp.float32(0.0)
+            losses["distill_loss"] = distill
+            losses["vit_distill_loss"] = vit_distill
+            losses["sem_mse_loss"] = sem_out["mse_loss"]
+            total = total + distill + sem_out["mse_loss"] + vit_distill
+
+        if cfg.enable_pixel_branch:
+            cond, _ = self._run_pixel_trunk(latent)
+            target_latent = C.p2l_transform(
+                pixel_values.astype(jnp.float32), cfg.patch_size
+            )
+            pix_out = self.flow_head.forward_train(target_latent, cond, rng_pix)
+            losses["flow_loss"] = pix_out["mse_loss"]
+            lpips = jnp.float32(0.0)
+            if lpips_fn is not None:
+                pred_img = C.l2p_transform(pix_out["pred"], cfg.patch_size)
+                pred_img = jnp.clip(pred_img, -1, 1) * 0.5 + 0.5
+                tgt_img = jnp.clip(pixel_values, -1, 1) * 0.5 + 0.5
+                lpips = lpips_fn(pred_img, tgt_img)
+            losses["lpips_loss"] = lpips
+            total = total + pix_out["mse_loss"] + lpips
+
+        losses["loss"] = total
+        return losses
+
+    # ---- inference ----
+
+    def __call__(self, pixel_values, rng, mode: str = "pixel",
+                 normalize_type: str = "siglip"):
+        assert mode in ("pixel", "semantic")
+        _, _, latent = self.forward_encoder(pixel_values, normalize_type)
+        if mode == "pixel":
+            cond, _ = self._run_pixel_trunk(latent)
+            return self.flow_head.sample(cond, rng)
+        cond, _ = self._run_semantic_trunk(latent)
+        return self.sem_flow_head.sample(cond, rng, as_image=False)
+
+
+def _param_free_layer_norm(x, eps: float = 0.0):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return ((xf - mu) / jnp.sqrt(var + eps)).astype(x.dtype)
+
+
+def _interp_pos(pos_embed, grid: int):
+    n = pos_embed.shape[1]
+    orig = int(round(np.sqrt(n)))
+    if orig == grid:
+        return pos_embed
+    pe = pos_embed.astype(jnp.float32).reshape(1, orig, orig, -1)
+    pe = jax.image.resize(pe, (1, grid, grid, pe.shape[-1]), method="cubic")
+    return pe.reshape(1, grid * grid, -1)

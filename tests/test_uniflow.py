@@ -1,0 +1,115 @@
+"""UniFlow unified understanding+generation stack tests (SURVEY §2.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deco_tpu.models.uniflow import UniFlowConfig, UniFlowVision
+from deco_tpu.models.uniflow import components as C
+from deco_tpu.models.uniflow.flow_decoder import FlowDecoder, flow_decoder_timesteps
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        vit_hidden_size=64, llm_hidden_size=48, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128, patch_size=4,
+        image_size=32, global_blocks_depth=2, num_decoder_layers=2,
+        num_sampling_steps=3,
+    )
+    base.update(kw)
+    return UniFlowConfig(**base)
+
+
+class TestComponents:
+    def test_resample_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 8), jnp.float32)
+        down = C.resample_tokens(x, 0.5)
+        assert down.shape == (2, 4, 32)
+        up = C.resample_tokens(down, 2.0)
+        assert up.shape == (2, 16, 8)
+        np.testing.assert_allclose(up, x)
+
+    def test_p2l_l2p_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 3), jnp.float32)
+        tokens = C.p2l_transform(x, 4)
+        assert tokens.shape == (2, 4, 48)
+        back = C.l2p_transform(tokens, 4)
+        np.testing.assert_allclose(back, x)
+
+    def test_sincos_pos_embed(self):
+        pe = C.get_2d_sincos_pos_embed(64, 8)
+        assert pe.shape == (64, 64)
+        # embedding magnitudes bounded by 1
+        assert np.abs(pe).max() <= 1.0 + 1e-6
+
+    def test_flow_decoder_schedules(self):
+        ts, dts = flow_decoder_timesteps(4, "linear")
+        np.testing.assert_allclose(ts, [0.0, 0.25, 0.5, 0.75])
+        np.testing.assert_allclose(dts, [0.25] * 4)
+        ts_p, dts_p = flow_decoder_timesteps(4, "pow_0.25")
+        assert len(ts_p) == 4 and dts_p.sum() == pytest.approx(1.0)
+
+
+class TestUniFlow:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = UniFlowVision(tiny_cfg(), dtype=jnp.float32)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng}, x, rng, method=model.forward_loss)
+        return model, params, x
+
+    def test_forward_loss_components(self, setup):
+        model, params, x = setup
+        losses = model.apply(params, x, jax.random.PRNGKey(1),
+                             method=model.forward_loss)
+        for k in ("distill_loss", "sem_mse_loss", "flow_loss", "loss"):
+            assert k in losses and np.isfinite(float(losses[k])), k
+        assert float(losses["loss"]) > 0
+
+    def test_pixel_reconstruction(self, setup):
+        model, params, x = setup
+        img = model.apply(params, x, jax.random.PRNGKey(2), mode="pixel")
+        assert img.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_semantic_reconstruction(self, setup):
+        model, params, x = setup
+        sem = model.apply(params, x, jax.random.PRNGKey(3), mode="semantic")
+        # (B, grid^2/4 tokens, vit_hidden*4)
+        assert sem.shape == (2, 16, 256)
+
+    def test_teacher_distillation_path(self, setup):
+        model, params, x = setup
+        teacher = {
+            "vit_embeds": jnp.ones((2, 16, 256)),
+            "vit_embeds_mlp": jnp.ones((2, 16, 48)),
+        }
+        losses = model.apply(
+            params, x, jax.random.PRNGKey(4), teacher_feat=teacher,
+            method=model.forward_loss,
+        )
+        assert float(losses["vit_distill_loss"]) > 0
+
+    def test_branch_toggles(self):
+        model = UniFlowVision(
+            tiny_cfg(enable_semantic_branch=False), dtype=jnp.float32
+        )
+        x = jnp.zeros((1, 32, 32, 3))
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng}, x, rng, method=model.forward_loss)
+        losses = model.apply(params, x, rng, method=model.forward_loss)
+        assert "flow_loss" in losses and "sem_mse_loss" not in losses
+
+    def test_gradients_flow(self, setup):
+        model, params, x = setup
+
+        def loss(p):
+            return model.apply(p, x, jax.random.PRNGKey(5),
+                               method=model.forward_loss)["loss"]
+
+        g = jax.grad(loss)(params)
+        gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(l))
+                                for l in jax.tree.leaves(g))))
+        assert np.isfinite(gn) and gn > 0
