@@ -1,1 +1,1 @@
-from deco_tpu.data import dpg, geneval, image_txt, imagenet, loader, randn
+from deco_tpu.data import dpg, geneval, image_txt, imagenet, jsonl, loader, packed, randn
