@@ -72,7 +72,7 @@ def main():
     # does not reliably fence, so same-input loops measure nothing.
     float(jnp.sum(sample(params, noise)))  # compile
     print(f"# compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    n_iters = 3 if on_tpu else 1
+    n_iters = 1
     t_start = time.perf_counter()
     for i in range(n_iters):
         noise_i = jax.random.normal(jax.random.PRNGKey(2 + i), x0.shape)

@@ -48,8 +48,11 @@ def adamw_with_groups(
 
     def label_fn(params):
         def label(path, _):
-            top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return "group" if any(top.startswith(p) for p in group_prefixes) \
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if keys and keys[0] == "params":  # skip the flax collection root
+                keys = keys[1:]
+            joined = "/".join(keys)
+            return "group" if any(joined.startswith(p) for p in group_prefixes) \
                 else "default"
 
         return jax.tree_util.tree_map_with_path(label, params)

@@ -1,0 +1,123 @@
+"""UniFlow training/eval orchestration.
+
+TPU-native equivalent of the reference's ``LightningUniFlowModel``
+(``src/lightning_uniflow_model.py:45-564`` of hhhhzp/DeCo):
+
+- builds :class:`UniFlowVision` from config (the HF config.json surface),
+  EMA copy, optional frozen teacher (InternVL feature extractor) providing
+  ``vit_embeds``/``vit_embeds_mlp`` for distillation (:523-564);
+- freeze flags ``frozen_encoder``/``frozen_mlp`` (:224-275) via masked
+  optimizer updates;
+- param groups: vision-encoder LR 1e-5 vs default, cosine-with-min-lr
+  warmup 10k / 200k steps / min 1e-5 (:283-346);
+- train step = jitted forward_loss + grad + update + EMA;
+- reconstruct: pad H,W to multiples of 28, run pixel/semantic
+  reconstruction, unpad (:405-474).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deco_tpu.models.uniflow import UniFlowConfig, UniFlowVision
+from deco_tpu.train.schedules import adamw_with_groups, cosine_with_min_lr
+from deco_tpu.train.state import TrainState, ema_update
+
+
+@dataclasses.dataclass
+class UniFlowTrainConfig:
+    lr: float = 1e-4
+    vision_lr: float = 1e-5
+    warmup_steps: int = 10000
+    total_steps: int = 200000
+    min_lr: float = 1e-5
+    weight_decay: float = 0.0
+    ema_decay: float = 0.9999
+    frozen_encoder: bool = False
+    frozen_mlp: bool = False
+    grad_clip: float = 1.0
+
+
+class UniFlowExperiment:
+    def __init__(self, model_cfg: UniFlowConfig = UniFlowConfig(),
+                 train_cfg: UniFlowTrainConfig = UniFlowTrainConfig(),
+                 teacher_fn: Optional[Callable] = None,
+                 lpips_fn: Optional[Callable] = None,
+                 dtype=jnp.bfloat16):
+        self.model = UniFlowVision(model_cfg, dtype=dtype)
+        self.cfg = train_cfg
+        self.teacher_fn = teacher_fn
+        self.lpips_fn = lpips_fn
+
+    def init_state(self, rng, sample_x) -> TrainState:
+        params = self.model.init(
+            {"params": rng}, sample_x, rng, method=self.model.forward_loss
+        )
+        sched = lambda lr: cosine_with_min_lr(
+            lr, self.cfg.warmup_steps, self.cfg.total_steps, self.cfg.min_lr
+        )
+        frozen = []
+        if self.cfg.frozen_encoder:
+            frozen += ["params/vision", "params/shallow"]
+        if self.cfg.frozen_mlp:
+            frozen += ["params/mlp1_norm", "params/mlp1_fc1", "params/mlp1_fc2"]
+        tx = adamw_with_groups(
+            self.cfg.lr,
+            group_prefixes=("vision", "shallow", "mlp1"),
+            group_lr=self.cfg.vision_lr,
+            weight_decay=self.cfg.weight_decay,
+            schedule_fn=sched,
+        )
+        if frozen:
+            from deco_tpu.train.freeze import with_frozen
+
+            tx = with_frozen(tx, params, frozen)
+        return TrainState.create(params, tx)
+
+    def make_train_step(self, donate: bool = True):
+        cfg = self.cfg
+
+        def loss_fn(params, x, rng, teacher_feat):
+            losses = self.model.apply(
+                params, x, rng, teacher_feat=teacher_feat,
+                lpips_fn=self.lpips_fn, method=self.model.forward_loss,
+            )
+            return losses["loss"], losses
+
+        def step(state: TrainState, batch, rng):
+            x = batch["x"]
+            teacher_feat = batch.get("teacher_feat")
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, rng, teacher_feat
+            )
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.grad_clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = ema_update(state.ema_params, params, cfg.ema_decay)
+            metrics = dict(metrics, grad_norm=gnorm)
+            return state.replace(
+                step=state.step + 1, params=params, ema_params=ema,
+                opt_state=opt_state,
+            ), metrics
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def reconstruct(self, params, x, rng, mode: str = "pixel"):
+        """Pad H,W to x28 multiples, reconstruct, unpad (reference :405-474)."""
+        b, h, w, c = x.shape
+        ph, pw = (-h) % 28, (-w) % 28
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        out = self.model.apply(params, x, rng, mode=mode)
+        if mode == "pixel" and (ph or pw):
+            out = out[:, :h, :w]
+        return out
