@@ -1,0 +1,174 @@
+"""Data layer tests: ADM crop, loaders, JSONL, seeded noise, save layouts."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deco_tpu.data.imagenet import PixImageNet, adm_center_crop
+from deco_tpu.data.jsonl import PixJSONLDataset, PixMultiJSONLDataset
+from deco_tpu.data.loader import ShardedLoader, collate
+from deco_tpu.data.randn import ClassLabelRandomNDataset, clean_filename, seeded_noise
+from deco_tpu.data.geneval import GenEvalDataset
+from deco_tpu.data.dpg import DPGDataset, concat_dpg_grids
+
+
+@pytest.fixture(scope="module")
+def img_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for cls in ("a", "b"):
+        (root / cls).mkdir()
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 255, (50, 70, 3), np.uint8)).save(
+                root / cls / f"{i}.png"
+            )
+    return str(root)
+
+
+class TestADMCrop:
+    def test_output_size_and_determinism(self):
+        rng = np.random.RandomState(0)
+        img = Image.fromarray(rng.randint(0, 255, (300, 500, 3), np.uint8))
+        a = np.array(adm_center_crop(img, 64))
+        b = np.array(adm_center_crop(img, 64))
+        assert a.shape == (64, 64, 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_box_downsample_loop(self):
+        """Very large images go through the halving loop first."""
+        img = Image.new("RGB", (520, 520), (100, 150, 200))
+        out = adm_center_crop(img, 64)
+        arr = np.array(out)
+        assert arr.shape == (64, 64, 3)
+        np.testing.assert_allclose(arr.mean(axis=(0, 1)), [100, 150, 200],
+                                   atol=1.0)
+
+
+class TestDatasets:
+    def test_pix_imagenet(self, img_root):
+        ds = PixImageNet(img_root, resolution=32)
+        assert len(ds) == 6
+        x, y, md = ds[0]
+        assert x.shape == (32, 32, 3) and x.min() >= -1 and x.max() <= 1
+        assert md["raw_image"].min() >= 0
+        assert y in (0, 1)
+
+    def test_jsonl(self, img_root, tmp_path):
+        ann = tmp_path / "ann.jsonl"
+        with open(ann, "w") as f:
+            for cls in ("a", "b"):
+                for i in range(3):
+                    f.write(json.dumps({"target_image": f"{cls}/{i}.png"}) + "\n")
+        ds = PixJSONLDataset(img_root, str(ann), resolution=32)
+        assert len(ds) == 6
+        x, y, md = ds[2]
+        assert x.shape == (32, 32, 3)
+
+    def test_jsonl_retry_on_bad(self, img_root, tmp_path):
+        ann = tmp_path / "bad.jsonl"
+        with open(ann, "w") as f:
+            f.write(json.dumps({"target_image": "missing.png"}) + "\n")
+            f.write(json.dumps({"target_image": "a/0.png"}) + "\n")
+        ds = PixJSONLDataset(img_root, str(ann), resolution=32)
+        x, _, _ = ds[0]  # bad sample retried onto a random good one
+        assert x.shape == (32, 32, 3)
+
+    def test_multi_jsonl_repeat(self, img_root, tmp_path):
+        ann = tmp_path / "ann.jsonl"
+        with open(ann, "w") as f:
+            f.write(json.dumps({"target_image": "a/0.png"}) + "\n")
+        cfg = tmp_path / "total_images.json"
+        with open(cfg, "w") as f:
+            json.dump({"ds1": {"root": img_root, "annotation": str(ann),
+                               "repeat_time": 3}}, f)
+        ds = PixMultiJSONLDataset(str(cfg), resolution=32)
+        assert len(ds) == 3
+
+    def test_seeded_noise_deterministic(self):
+        a = seeded_noise(7, (3, 8, 8))
+        b = seeded_noise(7, (3, 8, 8))
+        c = seeded_noise(8, (3, 8, 8))
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, c)
+        assert a.shape == (8, 8, 3)  # CHW config -> HWC output
+
+    def test_classlabel_randn_protocol(self):
+        ds = ClassLabelRandomNDataset(latent_shape=(3, 8, 8), num_classes=10,
+                                      max_num_instances=50)
+        assert len(ds) == 50
+        x, y, md = ds[0]
+        assert md["seed"] == 0 and y == 0
+        x2, y2, _ = ds[5]  # 5 seeds per class -> index 5 is class 1
+        assert y2 == 1
+
+    def test_clean_filename(self):
+        assert clean_filename("Hello/World..") == "hello_world"
+        assert clean_filename("") == "untitled"
+
+
+class TestEvalHarnesses:
+    def test_geneval_layout(self, tmp_path):
+        meta = tmp_path / "meta.jsonl"
+        with open(meta, "w") as f:
+            f.write(json.dumps({"prompt": "a red cube", "tag": "color"}) + "\n")
+        ds = GenEvalDataset(str(meta), num_samples_per_instance=2,
+                            latent_shape=(3, 8, 8))
+        assert len(ds) == 2
+        latent, cond, md = ds[1]
+        assert cond == "a red cube" and md["seed"] == 1
+        img = np.zeros((8, 8, 3), np.uint8)
+        md["save_fn"](img, {k: v for k, v in md.items()}, str(tmp_path))
+        assert os.path.exists(tmp_path / "1" / "samples" / "1.png")
+        assert os.path.exists(tmp_path / "1" / "metadata.jsonl")
+
+    def test_dpg_layout_and_grid(self, tmp_path):
+        pdir = tmp_path / "prompts"
+        pdir.mkdir()
+        (pdir / "item1.txt").write_text("a cat\n")
+        ds = DPGDataset(str(pdir), num_samples_per_instance=4,
+                        latent_shape=(3, 8, 8))
+        assert len(ds) == 4
+        outdir = tmp_path / "samples"
+        outdir.mkdir()
+        for i in range(4):
+            latent, cond, md = ds[i]
+            md["save_fn"](np.zeros((8, 8, 3), np.uint8), md, str(outdir))
+        grid_dir = tmp_path / "grids"
+        concat_dpg_grids(str(outdir), str(grid_dir))
+        grid = np.array(Image.open(grid_dir / "item1.png"))
+        assert grid.shape == (16, 16, 3)
+
+
+class TestLoader:
+    def test_sharding_partition(self, img_root):
+        ds = PixImageNet(img_root, resolution=16)
+        seen = []
+        for rank in range(2):
+            loader = ShardedLoader(ds, batch_size=1, shuffle=False,
+                                   process_index=rank, process_count=2,
+                                   num_workers=1)
+            idx = loader._shard_indices(0)
+            seen.append(set(idx.tolist()))
+        assert seen[0].isdisjoint(seen[1])
+        assert len(seen[0] | seen[1]) == 6
+
+    def test_epoch_reshuffle_deterministic(self, img_root):
+        ds = PixImageNet(img_root, resolution=16)
+        l1 = ShardedLoader(ds, 2, seed=1, process_index=0, process_count=1)
+        l2 = ShardedLoader(ds, 2, seed=1, process_index=0, process_count=1)
+        np.testing.assert_array_equal(l1._shard_indices(3), l2._shard_indices(3))
+        assert not np.array_equal(l1._shard_indices(0), l1._shard_indices(1))
+
+    def test_collate_string_conditions(self):
+        samples = [
+            (np.zeros((4, 4, 3), np.float32), "a cat", {"prompt": "a cat"}),
+            (np.zeros((4, 4, 3), np.float32), "a dog", {"prompt": "a dog"}),
+        ]
+        xs, ys, md = collate(samples)
+        assert xs.shape == (2, 4, 4, 3)
+        assert ys == ["a cat", "a dog"]
+        assert md["prompt"] == ["a cat", "a dog"]
