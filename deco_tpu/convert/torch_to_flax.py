@@ -103,6 +103,28 @@ def _stack_blocks(entries: Dict[int, dict]) -> dict:
     return out
 
 
+def _convert_swiglu(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """SwiGLU weights in either layout:
+
+    - split (dit_c2i_DeCo.py FeedForward): w1/w3 inputs, w2 output;
+    - fused (src/models/layers/swiglu.py): w12 = [w1; gate], and the
+      reference's `w3` is the OUTPUT projection (maps to deco_tpu w2).
+    """
+    if prefix + "mlp.w1.weight" in sd:
+        return {
+            "w1": {"kernel": _t(sd[prefix + "mlp.w1.weight"])},
+            "w3": {"kernel": _t(sd[prefix + "mlp.w3.weight"])},
+            "w2": {"kernel": _t(sd[prefix + "mlp.w2.weight"])},
+        }
+    w12 = sd[prefix + "mlp.w12.weight"]
+    half = w12.shape[0] // 2
+    return {
+        "w1": {"kernel": _t(w12[:half])},
+        "w3": {"kernel": _t(w12[half:])},
+        "w2": {"kernel": _t(sd[prefix + "mlp.w3.weight"])},
+    }
+
+
 def _convert_dit_block(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
     """One FlattenDiTBlock / JointDiTBlock / TextRefineBlock."""
     g = lambda n: sd[prefix + n]
@@ -113,19 +135,8 @@ def _convert_dit_block(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
         },
         "norm1": {"weight": g("norm1.weight")},
         "norm2": {"weight": g("norm2.weight")},
-        "mlp": {
-            "w2": {"kernel": _t(g("mlp.w2.weight"))},
-        },
+        "mlp": _convert_swiglu(prefix, sd),
     }
-    # SwiGLU: either split w1/w3 or fused w12
-    if prefix + "mlp.w1.weight" in sd:
-        block["mlp"]["w1"] = {"kernel": _t(g("mlp.w1.weight"))}
-        block["mlp"]["w3"] = {"kernel": _t(g("mlp.w3.weight"))}
-    else:
-        w12 = g("mlp.w12.weight")
-        half = w12.shape[0] // 2
-        block["mlp"]["w1"] = {"kernel": _t(w12[:half])}
-        block["mlp"]["w3"] = {"kernel": _t(w12[half:])}
     attn: dict = {}
     if prefix + "attn.qkv.weight" in sd:  # self-attention (c2i / text-refine)
         attn["qkv"] = {"kernel": _t(g("attn.qkv.weight"))}
@@ -157,11 +168,7 @@ def _convert_text_refine_block(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
             "kernel": _t(g("attn.proj.weight")),
             "bias": g("attn.proj.bias"),
         },
-        "mlp": {
-            "w1": {"kernel": _t(g("mlp.w1.weight"))},
-            "w3": {"kernel": _t(g("mlp.w3.weight"))},
-            "w2": {"kernel": _t(g("mlp.w2.weight"))},
-        },
+        "mlp": _convert_swiglu(prefix, sd),
     }
 
 

@@ -47,21 +47,27 @@ class RMSNorm(nn.Module):
 
 
 class SwiGLU(nn.Module):
-    """SwiGLU feed-forward; hidden dim is 2/3 of the nominal mlp width.
+    """SwiGLU feed-forward.
 
-    Matches the reference FeedForward (dit_c2i_DeCo.py:101-114): callers pass
-    ``hidden_dim = mlp_ratio * dim`` and the module uses ``2*hidden/3``.
-    The fused w12 layout of ``src/models/layers/swiglu.py`` maps onto the
-    separate (w1, w3) kernels at checkpoint-conversion time.
+    Two reference variants share this module:
+    - c2i DeCo blocks (dit_c2i_DeCo.py:101-114): callers pass
+      ``hidden_dim = mlp_ratio * dim`` and the effective width is
+      ``2*hidden/3`` (``exact_hidden=False``);
+    - the fused-w12 ``src/models/layers/swiglu.py`` used by t2i/uniflow/ReCo:
+      the width is ``hidden_dim`` exactly (``exact_hidden=True``). The fused
+      layout maps onto the separate (w1, w3) kernels at conversion time.
     """
 
     hidden_dim: int
+    exact_hidden: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        hidden = int(2 * self.hidden_dim / 3)
+        hidden = self.hidden_dim if self.exact_hidden else int(
+            2 * self.hidden_dim / 3
+        )
         w1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w1")
         w3 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w3")
         w2 = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="w2")
@@ -399,7 +405,8 @@ class JointDiTBlock(nn.Module):
         )(h, y, rope)
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(
-            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+            hidden_dim=int(hidden * self.mlp_ratio), exact_hidden=True,
+            dtype=self.dtype, name="mlp"
         )(h)
         return x
 
@@ -430,7 +437,8 @@ class TextRefineBlock(nn.Module):
         x = x + gate_msa * attn_out
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(
-            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+            hidden_dim=int(hidden * self.mlp_ratio), exact_hidden=True,
+            dtype=self.dtype, name="mlp"
         )(h)
         return x
 

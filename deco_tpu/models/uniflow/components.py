@@ -188,9 +188,10 @@ class PlainDiTBlock(nn.Module):
         )(h, rope, mask)
         h = L.RMSNorm(name="norm2")(x)
         # reference uniflow FeedForward: w12 fused, hidden = mlp_ratio*dim
-        # exactly (no 2/3 factor) — SwiGLU here receives 1.5x to compensate
+        # exactly (no 2/3 factor)
         x = x + L.SwiGLU(
-            hidden_dim=int(c * self.mlp_ratio * 1.5), dtype=self.dtype, name="mlp"
+            hidden_dim=int(c * self.mlp_ratio), exact_hidden=True,
+            dtype=self.dtype, name="mlp"
         )(h)
         return x
 
