@@ -166,20 +166,26 @@ class Experiment:
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else self.max_steps
 
-        with jax.set_mesh(self.mesh):
-            for bi, (bx, by, bmeta) in enumerate(loader):
-                step = int(state.step)
-                if step >= limit:
-                    break
-                cond, uncond = self.conditioner(by, bmeta)
-                batch = mesh_lib.shard_batch(self.mesh, dict(
-                    x=jnp.asarray(bx), condition=cond, uncondition=uncond,
-                ))
-                state, metrics = step_fn(
-                    state, batch, jax.random.fold_in(rng, step)
-                )
-                logger.log(step, metrics)
-                ckpt.maybe_save(state)
+        try:
+            with jax.set_mesh(self.mesh):
+                for bi, (bx, by, bmeta) in enumerate(loader):
+                    step = int(state.step)
+                    if step >= limit:
+                        break
+                    cond, uncond = self.conditioner(by, bmeta)
+                    batch = mesh_lib.shard_batch(self.mesh, dict(
+                        x=jnp.asarray(bx), condition=cond, uncondition=uncond,
+                    ))
+                    state, metrics = step_fn(
+                        state, batch, jax.random.fold_in(rng, step)
+                    )
+                    logger.log(step, metrics)
+                    ckpt.maybe_save(state)
+        except BaseException:
+            # on-exception checkpoint (the hook the reference left commented
+            # out, model_checkpoint.py:21-23) — crash/preemption recovery
+            ckpt.maybe_save(state, force=True)
+            raise
         ckpt.maybe_save(state, force=True)
         logger.close()
         return state
