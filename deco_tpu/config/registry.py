@@ -59,6 +59,16 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     "src.diffusion.base.guidance.simple_guidance_fn": "deco_tpu.diffusion.guidance.simple_guidance_fn",
     "src.diffusion.base.guidance.guidance_fn_with_rescale": "deco_tpu.diffusion.guidance.guidance_fn_with_rescale",
     "src.diffusion.base.guidance.c3_guidance_fn": "deco_tpu.diffusion.guidance.c3_guidance_fn",
+    # REPA target encoders
+    "src.models.encoder.DINOv2": "deco_tpu.models.encoders.DINOv2",
+    "src.models.encoder.CLIP": "deco_tpu.models.encoders.CLIP",
+    "src.models.encoder.SigLIP": "deco_tpu.models.encoders.SigLIP",
+    "src.models.encoder.SigLIPVision": "deco_tpu.models.encoders.SigLIPVision",
+    "src.models.encoder_custom.DINOv2": "deco_tpu.models.encoders.DINOv2",
+    # additional models
+    "src.models.transformer.encoder_ae_sim.VAEModel": "deco_tpu.models.vae_models.VAEModel",
+    "src.models.transformer.encoder_ae.VAEModel": "deco_tpu.models.vae_models.VAEModel",
+    "src.models.modules.discriminator.NLayerDiscriminator": "deco_tpu.models.gan.discriminator.NLayerDiscriminator",
     # datasets
     "src.data.dataset.imagenet.PixImageNet": "deco_tpu.data.imagenet.PixImageNet",
     "src.data.dataset.imagenet.PixHFDataset": "deco_tpu.data.imagenet.PixHFDataset",
@@ -67,6 +77,10 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     "src.data.dataset.geneval.GenEvalDataset": "deco_tpu.data.geneval.GenEvalDataset",
     "src.data.dataset.dpg.DPGDataset": "deco_tpu.data.dpg.DPGDataset",
     "src.data.dataset.image_txt.ImageText": "deco_tpu.data.image_txt.ImageText",
+    "src.data.dataset.imagenet.PixJSONLDataset": "deco_tpu.data.jsonl.PixJSONLDataset",
+    "src.data.dataset.imagenet.PixMultiJSONLDataset": "deco_tpu.data.jsonl.PixMultiJSONLDataset",
+    "src.data.dataset.blip3o_dataset.PackedParquetDataset": "deco_tpu.data.packed.PackedParquetDataset",
+    "src.data.dataset.blip3o_dataset.WebDatasetPackedDataset": "deco_tpu.data.packed.WebDatasetPacked",
     # EMA tracker config nodes (consumed as plain settings by the train loop)
     "src.callbacks.simple_ema.SimpleEMA": "deco_tpu.config.registry._SimpleEMAConfig",
     "torch.optim.AdamW": "deco_tpu.config.registry._AdamWConfig",
