@@ -107,6 +107,8 @@ class AdamLMSampler(BaseSampler):
         self._cfg_per_step = np.where(in_interval, self.guidance, 1.0).astype(np.float32)
 
     def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
+        import numpy as np
+
         batch = noise.shape[0]
         cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
         steps = dict(
@@ -116,22 +118,57 @@ class AdamLMSampler(BaseSampler):
             coeffs=jnp.asarray(self.solver_coeffs),
         )
 
-        def body(carry, step):
+        def advance(carry, pred, step):
             x, history = carry
-            cfg_x = jnp.concatenate([x, x], axis=0)
-            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
-            out = net(cfg_x, cfg_t, cfg_condition)
-            pred = self.guidance_fn(out, step["cfg"]).astype(x.dtype)
             # push newest prediction into the last ring-buffer slot
             history = jnp.concatenate([history[1:], pred[None]], axis=0)
             v = jnp.einsum("k,k...->...", step["coeffs"].astype(x.dtype), history)
             x = x + v * step["dt"]
-            return (x, history), (x, v) if collect else None
+            return (x, history), v
 
+        def body_cfg(carry, step):
+            x = carry[0]
+            cfg_x = jnp.concatenate([x, x], axis=0)
+            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
+            out = net(cfg_x, cfg_t, cfg_condition)
+            pred = self.guidance_fn(out, step["cfg"]).astype(x.dtype)
+            carry, v = advance(carry, pred, step)
+            return carry, (carry[0], v) if collect else None
+
+        def body_uncond_skip(carry, step):
+            # cfg == 1 steps (t=0 first step, interval edges): guidance
+            # reduces to the conditional branch — half-cost net call
+            x = carry[0]
+            t_vec = jnp.full((batch,), step["t"], dtype=noise.dtype)
+            pred = net(x, t_vec, condition).astype(x.dtype)
+            carry, v = advance(carry, pred, step)
+            return carry, (carry[0], v) if collect else None
+
+        cfg_active = self._cfg_per_step != 1.0
+        if cfg_active.any():
+            lo = int(np.argmax(cfg_active))
+            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
+        else:
+            lo = hi = self.num_steps
+        segments = [
+            (0, lo, body_uncond_skip),
+            (lo, hi, body_cfg),
+            (hi, self.num_steps, body_uncond_skip),
+        ]
         history0 = jnp.zeros((self.order,) + noise.shape, noise.dtype)
-        (x_final, _), ys = jax.lax.scan(body, (noise, history0), steps)
+        carry = (noise, history0)
+        ys_parts = []
+        for start, end, body in segments:
+            if end <= start:
+                continue
+            seg = {k: v[start:end] for k, v in steps.items()}
+            carry, ys = jax.lax.scan(body, carry, seg)
+            if collect:
+                ys_parts.append(ys)
+        x_final = carry[0]
         if collect:
-            xs, vs = ys
+            xs = jnp.concatenate([p[0] for p in ys_parts], axis=0)
+            vs = jnp.concatenate([p[1] for p in ys_parts], axis=0)
             x_trajs = jnp.concatenate([noise[None], xs], axis=0)
             v_trajs = jnp.concatenate([vs, jnp.zeros_like(noise)[None]], axis=0)
             return x_trajs, v_trajs

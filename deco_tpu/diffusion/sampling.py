@@ -177,12 +177,7 @@ class EulerSampler(BaseSampler):
         steps["key"] = jax.random.split(rng, self.num_steps)
         needs_noise = self._needs_noise
 
-        def body(x, step):
-            cfg_x = jnp.concatenate([x, x], axis=0)
-            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
-            out = net(cfg_x, cfg_t, cfg_condition)
-            out = self._velocity(out, cfg_x, cfg_t)
-            v = self.guidance_fn(out, step["cfg"])
+        def step_update(x, v, step):
             v = v.astype(x.dtype)
             # score from velocity: s = (inv_doa*v - x) / (sigma^2 - inv_doa*dsm)
             denom = step["sigma"] ** 2 - step["inv_doa"] * step["dsm"]
@@ -194,15 +189,58 @@ class EulerSampler(BaseSampler):
                 x_next = x_next + step["b"] * jnp.sqrt(
                     jnp.maximum(step["c"] * step["w"] * step["dt"], 0.0)
                 ) * eps
-            return x_next, (x_next, v) if collect else None
+            return x_next
 
-        x_final, ys = jax.lax.scan(body, noise, steps)
+        def body_cfg(x, step):
+            cfg_x = jnp.concatenate([x, x], axis=0)
+            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
+            out = net(cfg_x, cfg_t, cfg_condition)
+            out = self._velocity(out, cfg_x, cfg_t)
+            v = self.guidance_fn(out, step["cfg"])
+            x_next = step_update(x, v, step)
+            return x_next, (x_next, v.astype(x.dtype)) if collect else None
+
+        def body_uncond_skip(x, step):
+            # cfg == 1: every reference guidance fn reduces to the conditional
+            # branch, so the unconditional half of the batch is dead weight —
+            # run conditional-only at half cost (guidance-interval steps,
+            # sampling.py:93-97).
+            t_vec = jnp.full((batch,), step["t"], dtype=noise.dtype)
+            out = net(x, t_vec, condition)
+            v = self._velocity(out, x, t_vec)
+            x_next = step_update(x, v, step)
+            return x_next, (x_next, v.astype(x.dtype)) if collect else None
+
+        # contiguous segments of cfg==1 at the ends run without the CFG double
+        cfg_active = self._steps["cfg"] != 1.0
+        if cfg_active.any():
+            lo = int(np.argmax(cfg_active))
+            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
+        else:
+            lo = hi = self.num_steps
+        segments = [
+            (0, lo, body_uncond_skip),
+            (lo, hi, body_cfg),
+            (hi, self.num_steps, body_uncond_skip),
+        ]
+        x = noise
+        ys_parts = []
+        for start, end, body in segments:
+            if end <= start:
+                continue
+            seg = {k: v[start:end] for k, v in steps.items()}
+            # interior cfg==1 steps (non-contiguous pattern) still go through
+            # the CFG body, which handles them exactly
+            x, ys = jax.lax.scan(body, x, seg)
+            if collect:
+                ys_parts.append(ys)
         if collect:
-            xs, vs = ys
+            xs = jnp.concatenate([p[0] for p in ys_parts], axis=0)
+            vs = jnp.concatenate([p[1] for p in ys_parts], axis=0)
             x_trajs = jnp.concatenate([noise[None], xs], axis=0)
             v_trajs = jnp.concatenate([vs, jnp.zeros_like(noise)[None]], axis=0)
             return x_trajs, v_trajs
-        return x_final[None], None
+        return x[None], None
 
 
 class EulerSamplerJiT(EulerSampler):

@@ -44,9 +44,8 @@ class TestEuler:
         x1 = jnp.asarray(np.random.RandomState(0).randn(*SHAPE), jnp.float32)
 
         def net(x, t, y):
-            b = x.shape[0] // 2
-            noise2 = jnp.concatenate([noise, noise], axis=0)
-            return jnp.concatenate([x1, x1], axis=0) - noise2
+            reps = x.shape[0] // SHAPE[0]
+            return jnp.tile(x1 - noise, (reps, 1, 1, 1))
 
         noise = jnp.asarray(np.random.RandomState(1).randn(*SHAPE), jnp.float32)
         sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=4, guidance=1.0)
@@ -61,7 +60,9 @@ class TestEuler:
             seen["y"] = y
             return jnp.zeros_like(x)
 
-        sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=1, guidance=2.0)
+        # interval (-1, 1] so the t=0 step is guided and the CFG batch is built
+        sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=1,
+                               guidance=2.0, guidance_interval_min=-1.0)
         cond = jnp.full((2,), 7, jnp.int32)
         uncond = jnp.full((2,), 1000, jnp.int32)
         sampler(net, jnp.zeros(SHAPE), cond, uncond)
@@ -83,10 +84,12 @@ class TestEuler:
         """Guided v = u + cfg*(c - u)."""
 
         def net(x, t, y):
-            b = x.shape[0] // 2
-            u = jnp.zeros_like(x[:b])
-            c = jnp.ones_like(x[:b])
-            return jnp.concatenate([u, c], axis=0)
+            if x.shape[0] == 2 * SHAPE[0]:  # CFG-doubled call
+                b = x.shape[0] // 2
+                return jnp.concatenate(
+                    [jnp.zeros_like(x[:b]), jnp.ones_like(x[:b])], axis=0
+                )
+            return jnp.ones_like(x)  # conditional-only call
 
         sampler = EulerSampler(
             scheduler=LinearScheduler(), num_steps=1, guidance=3.0,
@@ -137,7 +140,8 @@ class TestJiT:
         x1 = jnp.asarray(np.random.RandomState(2).randn(*SHAPE), jnp.float32)
 
         def net(x, t, y):
-            return jnp.concatenate([x1, x1], axis=0)
+            reps = x.shape[0] // SHAPE[0]
+            return jnp.tile(x1, (reps, 1, 1, 1))
 
         noise = jnp.zeros(SHAPE)
         sampler = EulerSamplerJiT(
