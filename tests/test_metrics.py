@@ -1,0 +1,75 @@
+"""Metrics: PSNR/SSIM sanity, FID statistics and Frechet distance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deco_tpu.train.metrics import FIDStats, frechet_distance, psnr, ssim
+
+
+class TestPSNRSSIM:
+    def test_psnr_identity_is_high(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3) * 255)
+        assert float(psnr(x, x)) > 100
+
+    def test_psnr_known_value(self):
+        a = jnp.zeros((1, 8, 8, 1))
+        b = jnp.full((1, 8, 8, 1), 10.0)
+        # mse=100 -> psnr = 20log10(255) - 10log10(100) = 48.13 - 20
+        np.testing.assert_allclose(float(psnr(a, b)), 28.1308, atol=1e-3)
+
+    def test_ssim_identity_is_one(self):
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3) * 255)
+        np.testing.assert_allclose(float(ssim(x, x)), 1.0, atol=1e-5)
+
+    def test_ssim_noise_lower(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(1, 32, 32, 3) * 255)
+        y = x + jnp.asarray(rng.randn(1, 32, 32, 3) * 50)
+        assert float(ssim(x, y)) < 0.9
+
+
+class TestFID:
+    def test_identical_distributions_zero(self):
+        rng = np.random.RandomState(0)
+        acts = rng.randn(500, 8)
+        s1, s2 = FIDStats(8), FIDStats(8)
+        s1.update(acts)
+        s2.update(acts)
+        mu1, c1 = s1.finalize()
+        mu2, c2 = s2.finalize()
+        assert abs(frechet_distance(mu1, c1, mu2, c2)) < 1e-6
+
+    def test_mean_shift(self):
+        rng = np.random.RandomState(1)
+        a = rng.randn(2000, 4)
+        b = rng.randn(2000, 4) + 2.0
+        sa, sb = FIDStats(4), FIDStats(4)
+        sa.update(a)
+        sb.update(b)
+        fid = frechet_distance(*sa.finalize(), *sb.finalize())
+        # dominated by ||mu1-mu2||^2 = 4 * 4
+        np.testing.assert_allclose(fid, 16.0, atol=1.0)
+
+    def test_streaming_matches_batch(self):
+        rng = np.random.RandomState(2)
+        acts = rng.randn(300, 6)
+        s_all = FIDStats(6)
+        s_all.update(acts)
+        s_stream = FIDStats(6)
+        for chunk in np.split(acts, 3):
+            s_stream.update(chunk)
+        mu_a, c_a = s_all.finalize()
+        mu_s, c_s = s_stream.finalize()
+        np.testing.assert_allclose(mu_a, mu_s, atol=1e-12)
+        np.testing.assert_allclose(c_a, c_s, atol=1e-10)
+
+    def test_merge(self):
+        rng = np.random.RandomState(3)
+        acts = rng.randn(200, 4)
+        s1, s2 = FIDStats(4), FIDStats(4)
+        s1.update(acts[:100])
+        s2.update(acts[100:])
+        s1.merge(s2)
+        ref = FIDStats(4)
+        ref.update(acts)
+        np.testing.assert_allclose(s1.finalize()[0], ref.finalize()[0], atol=1e-12)
