@@ -275,8 +275,13 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
     if impl == "auto":
+        import os
+
+        forced = os.environ.get("DECO_ATTN_IMPL")  # perf A/B override
         on_accel = jax.default_backend() != "cpu"
-        if mask is None and on_accel and q.shape[1] >= 512 and k.shape[1] >= 512:
+        if forced:
+            impl = forced
+        elif mask is None and on_accel and q.shape[1] >= 512 and k.shape[1] >= 512:
             impl = "flash"
         else:
             impl = "xla"
