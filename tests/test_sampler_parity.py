@@ -1,0 +1,168 @@
+"""End-to-end sampling parity: reference torch EulerSampler + torch model vs
+deco_tpu scan sampler + converted weights, with injected identical noise.
+
+This pins the BASELINE 'per-step velocity parity' contract across the whole
+inference stack: CFG batching order, guidance interval semantics, timestep
+respacing, the score-from-velocity formula, and the model forward."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.base.guidance import simple_guidance_fn
+    from src.diffusion.flow_matching.sampling import EulerSampler, ode_step_fn
+    from src.diffusion.flow_matching.scheduling import LinearScheduler
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_dit_sampler", os.path.join(
+            REF, "src/models/transformer/dit_c2i_DeCo.py")
+    )
+    dit = importlib.util.module_from_spec(spec)
+    sys.modules["ref_dit_sampler"] = dit
+    spec.loader.exec_module(dit)
+    return dict(EulerSampler=EulerSampler, LinearScheduler=LinearScheduler,
+                guidance_fn=simple_guidance_fn, ode_step_fn=ode_step_fn,
+                dit=dit)
+
+
+KW = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+          hidden_size_x=8, num_blocks=4, num_cond_blocks=2, num_classes=10)
+
+
+def test_euler_cfg_sampling_parity(ref_mods):
+    import torch
+
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.sampling import EulerSampler
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(0)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(0)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([1, 5])
+    uncond = np.asarray([10, 10])
+
+    # reference: fp32 (no autocast on CPU), 8 steps, guidance interval
+    tsampler = ref_mods["EulerSampler"](
+        scheduler=ref_mods["LinearScheduler"](),
+        w_scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=8, guidance=3.2,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+        step_fn=ref_mods["ode_step_fn"],
+    )
+    with torch.no_grad():
+        x_trajs, v_trajs = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+    v_t = torch.stack(v_trajs).numpy()
+
+    # deco_tpu: converted weights, same protocol, NHWC
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = EulerSampler(
+        scheduler=LinearScheduler(), w_scheduler=LinearScheduler(),
+        num_steps=8, guidance=3.2,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+    )
+    out_j, xj, vj = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+        return_x_trajs=True, return_v_trajs=True,
+    )
+    np.testing.assert_allclose(
+        jsampler.timesteps, tsampler.timesteps.numpy(), atol=1e-6
+    )
+    # per-step velocity parity
+    vj_nchw = np.asarray(vj).transpose(0, 1, 4, 2, 3)
+    np.testing.assert_allclose(vj_nchw[:-1], v_t[:-1], atol=5e-4, rtol=1e-3)
+    # final sample parity
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
+
+
+def test_adamlm_sampling_parity(ref_mods):
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.flow_matching.adam_sampling import AdamLMSampler as TAdam
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.adam_sampling import AdamLMSampler
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(1)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(1)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([2, 7])
+    uncond = np.asarray([10, 10])
+
+    tsampler = TAdam(
+        scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=4.0, order=2, timeshift=3.0,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = AdamLMSampler(
+        scheduler=LinearScheduler(), num_steps=6, guidance=4.0, order=2,
+        timeshift=3.0,
+    )
+    # coefficient parity against the reference's per-step lists
+    for i, row in enumerate(tsampler.solver_coeffs):
+        ref_row = np.asarray([float(c) for c in row])
+        np.testing.assert_allclose(
+            jsampler.solver_coeffs[i, -len(ref_row):], ref_row, atol=1e-5
+        )
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
