@@ -162,10 +162,14 @@ class Qwen3TextEncoder(BaseConditioner):
         return jnp.asarray(fn(list(y), metadata))
 
     def _impl_uncondition(self, y, metadata):
+        # cache keyed by the negative prompt (the reference caches only the
+        # first one, qwen3_text_encoder.py:28-33 — keying is strictly better
+        # for the serving path where it changes per request)
+        neg = metadata.get("negative_prompt", self.negative_prompt)
         if self._uncond_cache is None:
-            neg = metadata.get("negative_prompt", self.negative_prompt)
+            self._uncond_cache = {}
+        if neg not in self._uncond_cache:
             fn = self._encode_hf if self._model is not None else self._encode_fallback
-            self._uncond_cache = jnp.asarray(fn([neg], {}))
-        return jnp.broadcast_to(
-            self._uncond_cache, (len(y),) + self._uncond_cache.shape[1:]
-        )
+            self._uncond_cache[neg] = jnp.asarray(fn([neg], {}))
+        emb = self._uncond_cache[neg]
+        return jnp.broadcast_to(emb, (len(y),) + emb.shape[1:])
