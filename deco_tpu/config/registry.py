@@ -138,8 +138,10 @@ def resolve(class_path: str):
 # init_args accepted by reference classes but intentionally dropped (torch-only
 # runtime concerns handled elsewhere in deco_tpu: weight loading goes through
 # the converter, compile flags are implicit under jit).
-DROPPED_ARGS = {"weight_path", "load_ema", "grad_checkpointing", "learn_sigma",
+DROPPED_ARGS = {"weight_path", "load_ema", "learn_sigma",
                 "deep_supervision", "attn_drop", "proj_drop", "qkv_bias"}
+# renamed args (reference name -> deco_tpu name)
+RENAMED_ARGS = {"grad_checkpointing": "grad_checkpoint"}
 
 
 def instantiate(node: Any, drop_unknown: bool = True):
@@ -163,6 +165,7 @@ def instantiate(node: Any, drop_unknown: bool = True):
         for k, v in raw_args.items():
             if drop_unknown and k in DROPPED_ARGS:
                 continue
+            k = RENAMED_ARGS.get(k, k)
             kwargs[k] = instantiate(v, drop_unknown)
         return cls(**kwargs)
     return {k: instantiate(v, drop_unknown) for k, v in node.items()}
