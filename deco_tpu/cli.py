@@ -60,6 +60,19 @@ def main(argv: Optional[list] = None):
     config = registry.load_yaml(known.config)
     registry.apply_overrides(config, overrides)
 
+    # one CLI, config selects the workload (fixes the reference snapshot's
+    # swapped-entry-point hack, SURVEY caveat 1)
+    from deco_tpu.train import workloads
+
+    if workloads.is_uniflow_config(config):
+        workloads.run_uniflow(config, max_steps=known.max_steps,
+                              workdir=known.workdir or "./workdirs_uniflow")
+        return
+    if workloads.is_vae_config(config):
+        workloads.run_vae_gan(config, max_steps=known.max_steps,
+                              workdir=known.workdir or "./workdirs_vae")
+        return
+
     from deco_tpu.train.loop import Experiment
 
     resume = known.resume or known.ckpt_path is not None

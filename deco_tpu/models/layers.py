@@ -265,10 +265,11 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
     """Scaled dot-product attention. q/k/v: (B, N, H, Hc), head axis dim 2.
 
     ``impl``:
-    - "auto": XLA's fused attention (``jax.nn.dot_product_attention``) — ~4x
-      faster than a naive einsum at DeCo shapes since the fp32 logits never
-      round-trip HBM; switches to the Pallas flash kernel for unmasked
-      sequences >= 512 on accelerators (1.8x over XLA at 1024 tokens).
+    - "auto": the Pallas flash kernel for unmasked attention on accelerators
+      (logits never round-trip HBM — measured +12% END-TO-END on the DeCo-XL
+      50-step sampler at 256 tokens vs XLA's fused attention, and 2x
+      standalone at 1024 tokens); XLA fused attention for masked/CPU cases.
+    - "xla": ``jax.nn.dot_product_attention``.
     - "einsum": explicit fp32-softmax reference path (used by parity tests).
     - "flash": force the Pallas kernel.
     """
@@ -281,7 +282,7 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
         on_accel = jax.default_backend() != "cpu"
         if forced:
             impl = forced
-        elif mask is None and on_accel and q.shape[1] >= 512 and k.shape[1] >= 512:
+        elif mask is None and on_accel:
             impl = "flash"
         else:
             impl = "xla"

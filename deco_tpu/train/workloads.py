@@ -76,11 +76,15 @@ def run_vae_gan(config: Dict[str, Any], max_steps: Optional[int] = None,
         k: v for k, v in mc.get("vit", {}).items()
         if k in ViTConfig.__dataclass_fields__
     })
-    vae = VAEModel(
+    vae_kw = dict(
         vit=vit, llm_hidden_size=mc.get("llm_hidden_size", 1536),
         latent_channel=mc.get("latent_channel", 32),
         gen_select_layer=mc.get("gen_select_layer", 18),
     )
+    for k in ("decoder_channels", "decoder_layers", "decoder_attn"):
+        if k in mc:
+            vae_kw[k] = tuple(mc[k])
+    vae = VAEModel(**vae_kw)
     disc = NLayerDiscriminator(**config.get("discriminator", {}))
     loss_keys = ("reconstruction_loss", "reconstruction_weight",
                  "perceptual_weight", "discriminator_weight",
