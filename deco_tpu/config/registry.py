@@ -15,7 +15,7 @@ are supported via :func:`apply_overrides`.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 # reference class path -> deco_tpu path (or callable)
 REFERENCE_CLASS_MAP: Dict[str, str] = {

@@ -15,7 +15,7 @@ writes a torch-loadable .pt (or .safetensors when available).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -19,7 +19,6 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 from PIL import Image
 
-from deco_tpu.data.imagenet import adm_center_crop
 
 PREFIX_TEMPLATES = [
     "A photo of ",

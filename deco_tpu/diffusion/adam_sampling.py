@@ -16,7 +16,7 @@ combination is one einsum regardless of step index.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ in the model (params fp32 / compute bf16), not in an autocast wrapper.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp

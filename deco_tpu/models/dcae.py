@@ -15,11 +15,10 @@ decoder) and the DCLatentAE codec; weights load through
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from deco_tpu.models import layers as L

@@ -17,7 +17,7 @@ config ``configs_c2i/DeCo_XL.yaml:44-55``):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

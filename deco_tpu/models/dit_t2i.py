@@ -22,7 +22,7 @@ rope.py:30-46) so arbitrary resolutions work at inference via
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ Functional parity with the reference layer set (hhhhzp/DeCo
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

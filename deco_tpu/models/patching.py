@@ -11,7 +11,6 @@ permutes the ``s_embedder`` kernel rows accordingly. The pixel-decoder's
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def patchify(x, patch_size: int):

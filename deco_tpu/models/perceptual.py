@@ -16,7 +16,7 @@ Inputs are NHWC in [0, 1].
 from __future__ import annotations
 
 import warnings
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ trainer's two-phase call pattern (training_repa_DeCo.py:257 commented region).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ and the time-conditioned SimpleMLPAdaLN decoder core (:1127-1219, max_period
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
@@ -104,8 +104,7 @@ class GatedResBlock(nn.Module):
         h = nn.Dense(c, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(), name="mlp_2")(h)
         if self.use_gate:
-            mod_gate = gate
-            return x + mod_gate * h
+            return x + gate * h
         return x + h
 
 

@@ -15,7 +15,7 @@ breakage); here it is a real parameter, used only when cfg != 1.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ The per-layer stack runs under ``nn.scan`` with an optional per-layer tap for
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ Pieces:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -195,8 +194,6 @@ class DCAEDecoderEval(nn.Module):
 
     @nn.compact
     def __call__(self, vit_embeds):
-        from deco_tpu.models.layers import modulate  # noqa: F401 (doc link)
-
         h = vit_embeds
         for i in range(3):
             h = ResidualMLPBlock(expansion_ratio=1, dtype=self.dtype,

@@ -28,7 +28,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,26 +35,31 @@ NEG_INF = -1e30
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
-    """One program: one q block (BQ, D) vs the full KV (N, D) stream."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    """One program: one q block (BQ, D) vs the full KV (N, D) stream.
+
+    Matmuls run at native input precision (bf16 on the MXU at full rate) with
+    fp32 accumulation — SDPA semantics; softmax statistics stay fp32.
+    """
+    q = q_ref[0]  # (BQ, D), input dtype
     bq = q.shape[0]
     d = q.shape[1]
     num_kv = kv_len // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) fp32
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
         correction = jnp.exp(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=-1)
         acc = acc * correction[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
 

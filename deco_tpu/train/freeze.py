@@ -9,7 +9,7 @@ UniFlow freeze flags (frozen_encoder/frozen_mlp,
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Union
+from typing import Sequence
 
 import jax
 import optax

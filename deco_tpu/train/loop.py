@@ -18,7 +18,6 @@ Responsibilities mapped from the reference:
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Any, Dict, Optional
 
 import jax

@@ -9,7 +9,7 @@ needed). EMA params are kept fp32 like the reference asserts
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ tree_map; ``diffusion_batch_mul`` replicates latents inside the step so the
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

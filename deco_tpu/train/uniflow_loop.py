@@ -22,7 +22,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from deco_tpu.models.uniflow import UniFlowConfig, UniFlowVision
