@@ -78,6 +78,14 @@ def _unfold_perm(w, in_channels: int, patch_size: int):
     return np.ascontiguousarray(wr.reshape(p2 * in_channels, out_dim))
 
 
+def _pixel_major_perm(in_channels: int, patch_size: int) -> np.ndarray:
+    """Index map: pixel-major position (u*C + c) -> unfold position (c*p2 + u)."""
+    p2 = patch_size * patch_size
+    return np.asarray(
+        [c * p2 + u for u in range(p2) for c in range(in_channels)]
+    )
+
+
 def _set(tree: dict, path, value):
     node = tree
     for p in path[:-1]:
@@ -237,6 +245,109 @@ def convert_deco_c2i(
         i: _convert_dit_block(f"blocks.{i}.", sd) for i in range(num_cond_blocks)
     }
     params["blocks"]["block"] = _stack_blocks(blocks)
+    return params
+
+
+def convert_baseline_dit(
+    sd: Dict[str, np.ndarray],
+    in_channels: int = 3,
+    patch_size: int = 16,
+    num_blocks: Optional[int] = None,
+) -> dict:
+    """Convert a reference dit_c2i_baseline.FlattenDiT state dict."""
+    sd = {clean_key(k): v for k, v in sd.items()}
+    if num_blocks is None:
+        idxs = {int(m.group(1)) for k in sd
+                if (m := re.match(r"blocks\.(\d+)\.", k))}
+        num_blocks = max(idxs) + 1
+    params: dict = {
+        "x_embedder": {
+            "proj": {
+                "kernel": _unfold_perm(sd["x_embedder.proj.weight"], in_channels,
+                                       patch_size),
+                "bias": sd["x_embedder.proj.bias"],
+            }
+        },
+        "t_embedder": {
+            "mlp_0": {"kernel": _t(sd["t_embedder.mlp.0.weight"]),
+                      "bias": sd["t_embedder.mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd["t_embedder.mlp.2.weight"]),
+                      "bias": sd["t_embedder.mlp.2.bias"]},
+        },
+        "y_embedder": {"embedding": sd["y_embedder.embedding_table.weight"]},
+        "blocks": {"block": _stack_blocks({
+            i: _convert_dit_block(f"blocks.{i}.", sd) for i in range(num_blocks)
+        })},
+        "final_layer": {
+            "adaLN_modulation": {
+                "kernel": _t(sd["final_layer.adaLN_modulation.0.weight"]),
+                "bias": sd["final_layer.adaLN_modulation.0.bias"],
+            },
+            # output is patch pixels: permute the linear's OUTPUT dim from the
+            # unfold (c, py, px) order to the pixel-major (py, px, c) layout
+            "linear": {
+                "kernel": _t(sd["final_layer.linear.weight"])[
+                    :, _pixel_major_perm(in_channels, patch_size)
+                ],
+                "bias": sd["final_layer.linear.bias"][
+                    _pixel_major_perm(in_channels, patch_size)
+                ],
+            },
+        },
+    }
+    return params
+
+
+def convert_pixnerd_c2i(
+    sd: Dict[str, np.ndarray],
+    in_channels: int = 3,
+    patch_size: int = 16,
+    num_cond_blocks: Optional[int] = None,
+) -> dict:
+    """Convert a reference dit_c2i_pixnerd.PixNerDiT state dict."""
+    sd = {clean_key(k): v for k, v in sd.items()}
+    if num_cond_blocks is None:
+        idxs = {int(m.group(1)) for k in sd
+                if (m := re.match(r"blocks\.(\d+)\.norm1", k))}
+        num_cond_blocks = max(idxs) + 1
+    params = {
+        "s_embedder": {
+            "proj": {
+                "kernel": _unfold_perm(sd["s_embedder.proj.weight"], in_channels,
+                                       patch_size),
+                "bias": sd["s_embedder.proj.bias"],
+            }
+        },
+        "t_embedder": {
+            "mlp_0": {"kernel": _t(sd["t_embedder.mlp.0.weight"]),
+                      "bias": sd["t_embedder.mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd["t_embedder.mlp.2.weight"]),
+                      "bias": sd["t_embedder.mlp.2.bias"]},
+        },
+        "y_embedder": {"embedding": sd["y_embedder.embedding_table.weight"]},
+        "x_embedder": {
+            "embedder": {"kernel": _t(sd["x_embedder.embedder.0.weight"]),
+                         "bias": sd["x_embedder.embedder.0.bias"]},
+        },
+        "blocks": {"block": _stack_blocks({
+            i: _convert_dit_block(f"blocks.{i}.", sd)
+            for i in range(num_cond_blocks)
+        })},
+        "final_norm": {"weight": sd["final_layer.norm.weight"]},
+        "final_linear": {"kernel": _t(sd["final_layer.linear.weight"]),
+                         "bias": sd["final_layer.linear.bias"]},
+    }
+    i = 0
+    while f"blocks.{num_cond_blocks + i}.param_generator1.0.weight" in sd:
+        nb = f"blocks.{num_cond_blocks + i}."
+        params[f"nerf_blocks_{i}"] = {
+            "param_generator1": {
+                "kernel": _t(sd[nb + "param_generator1.0.weight"]),
+                "bias": sd[nb + "param_generator1.0.bias"],
+            },
+            "norm": {"weight": sd[nb + "norm.weight"]},
+        }
+        i += 1
     return params
 
 
