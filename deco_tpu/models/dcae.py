@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from deco_tpu.models import layers as L
@@ -272,6 +273,62 @@ class DCAEEncoder(nn.Module):
         return out
 
 
+def _blend_v(a, b, extent: int):
+    """Vertically blend the bottom of tile a into the top of tile b (NHWC)."""
+    extent = min(a.shape[1], b.shape[1], extent)
+    if extent <= 0:
+        return b
+    w = (np.arange(extent) / extent).reshape(1, extent, 1, 1)
+    w = jnp.asarray(w, b.dtype)
+    top = a[:, -extent:] * (1 - w) + b[:, :extent] * w
+    return jnp.concatenate([top, b[:, extent:]], axis=1)
+
+
+def _blend_h(a, b, extent: int):
+    """Horizontally blend the right of tile a into the left of tile b."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    if extent <= 0:
+        return b
+    w = (np.arange(extent) / extent).reshape(1, 1, extent, 1)
+    w = jnp.asarray(w, b.dtype)
+    left = a[:, :, -extent:] * (1 - w) + b[:, :, :extent] * w
+    return jnp.concatenate([left, b[:, :, extent:]], axis=2)
+
+
+def tiled_apply(fn, x, tile: int, stride: int, scale: float):
+    """Overlapping-tile apply with linear seam blending.
+
+    Parity with the reference's tiled encode/decode
+    (modeling_dcae.py:898-1023): tiles of ``tile`` pixels at ``stride`` are
+    processed independently, outputs (scaled by ``scale`` = output/input size
+    ratio) are seam-blended vertically then horizontally and cropped to the
+    stride grid. Bounds memory for large inputs at the cost of recompute.
+    """
+    b, h, w, c = x.shape
+    out_tile = int(tile * scale)
+    out_stride = int(stride * scale)
+    blend = out_tile - out_stride
+    rows = []
+    for i in range(0, h, stride):
+        row = []
+        for j in range(0, w, stride):
+            row.append(fn(x[:, i:i + tile, j:j + tile]))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        blended = []
+        for j, t in enumerate(row):
+            if i > 0:
+                t = _blend_v(rows[i - 1][j], t, blend)
+            if j > 0:
+                # blend against the RAW left neighbor (diffusers semantics)
+                t = _blend_h(row[j - 1], t, blend)
+            blended.append(t[:, :out_stride, :out_stride])
+        result_rows.append(jnp.concatenate(blended, axis=2))
+    out = jnp.concatenate(result_rows, axis=1)
+    return out[:, : int(h * scale), : int(w * scale)]
+
+
 class AutoencoderDC(nn.Module):
     """Full DC-AE: encode to f32c32 latents and back."""
 
@@ -289,6 +346,13 @@ class AutoencoderDC(nn.Module):
 
     def decode(self, z):
         return self.decoder(z)
+
+    def tiled_encode(self, x, tile_sample: int = 512, tile_stride: int = 448):
+        ratio = 1.0 / 32.0  # spatial compression 2^(stages-1)
+        return tiled_apply(self.encoder, x, tile_sample, tile_stride, ratio)
+
+    def tiled_decode(self, z, tile_latent: int = 16, tile_stride: int = 14):
+        return tiled_apply(self.decoder, z, tile_latent, tile_stride, 32.0)
 
     def __call__(self, x):
         return self.decode(self.encode(x))
