@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -53,6 +54,9 @@ def run_dit_blocks(
     """Run a stack of FlattenDiTBlocks under nn.scan; returns (x, tapped_feat)."""
     cell = _DiTScanCell
     if grad_checkpoint:
+        # full per-block remat: no remat needs ~31GB of activations at batch
+        # 32 (measured) and the save-matmul-outputs policy still needs ~20GB —
+        # only full recompute fits 16GB v5e alongside the 11GB optimizer state
         cell = nn.remat(cell, prevent_cse=False)
     scanned = nn.scan(
         cell,
