@@ -107,8 +107,6 @@ class AdamLMSampler(BaseSampler):
         self._cfg_per_step = np.where(in_interval, self.guidance, 1.0).astype(np.float32)
 
     def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
-        import numpy as np
-
         batch = noise.shape[0]
         cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
         steps = dict(

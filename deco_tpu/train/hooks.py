@@ -76,12 +76,13 @@ class SaveImagesHook:
         if jax.process_count() > 1:
             shard_path = os.path.join(self.root, f"output_rank{rank}.npz")
             np.savez(shard_path, arr_0=arr)
-            # rank 0 merges once all shards exist (simple barrier via files)
-            if rank != 0:
-                return shard_path
+            # all ranks must reach the barrier (sync is collective); rank 0
+            # then merges the on-disk shards
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("save_images_npz")
+            if rank != 0:
+                return shard_path
             shards = [
                 np.load(os.path.join(self.root, f"output_rank{r}.npz"))["arr_0"]
                 for r in range(jax.process_count())
