@@ -114,13 +114,86 @@ def export_deco_c2i(params: dict, in_channels: int = 3, patch_size: int = 16,
     return out
 
 
+def _export_swiglu_fused(mlp: dict, out: Dict[str, np.ndarray], prefix: str,
+                         layer: int):
+    """SwiGLU -> the fused w12 layout (src/models/layers/swiglu.py):
+    torch w12 = [w1; gate], torch w3 = output projection (deco w2)."""
+    w1 = _t(_idx(mlp, layer, "w1", "kernel"))
+    gate = _t(_idx(mlp, layer, "w3", "kernel"))
+    out[f"{prefix}mlp.w12.weight"] = np.concatenate([w1, gate], axis=0)
+    out[f"{prefix}mlp.w3.weight"] = _t(_idx(mlp, layer, "w2", "kernel"))
+
+
+def _export_t2i_block(block: dict, out: Dict[str, np.ndarray], prefix: str,
+                      layer: int, joint: bool):
+    g = lambda *path: np.asarray(_idx(block, layer, *path))
+    out[f"{prefix}adaLN_modulation.0.weight"] = _t(
+        g("adaLN_modulation", "kernel"))
+    out[f"{prefix}adaLN_modulation.0.bias"] = g("adaLN_modulation", "bias")
+    out[f"{prefix}norm1.weight"] = g("norm1", "weight")
+    out[f"{prefix}norm2.weight"] = g("norm2", "weight")
+    _export_swiglu_fused(block["mlp"], out, prefix, layer)
+    if joint:
+        out[f"{prefix}attn.qkv_x.weight"] = _t(g("attn", "qkv_x", "kernel"))
+        out[f"{prefix}attn.kv_y.weight"] = _t(g("attn", "kv_y", "kernel"))
+        out[f"{prefix}attn.q_norm.weight"] = g("attn", "q_norm", "weight")
+        out[f"{prefix}attn.k_norm.weight"] = g("attn", "k_norm", "weight")
+        out[f"{prefix}attn.proj.weight"] = _t(g("attn", "proj", "kernel"))
+        out[f"{prefix}attn.proj.bias"] = g("attn", "proj", "bias")
+    else:  # text-refine block (flat attn param names in deco_tpu)
+        out[f"{prefix}attn.qkv.weight"] = _t(g("attn_qkv", "kernel"))
+        out[f"{prefix}attn.q_norm.weight"] = g("attn_q_norm", "weight")
+        out[f"{prefix}attn.k_norm.weight"] = g("attn_k_norm", "weight")
+        out[f"{prefix}attn.proj.weight"] = _t(g("attn_proj", "kernel"))
+        out[f"{prefix}attn.proj.bias"] = g("attn_proj", "bias")
+
+
+def export_deco_t2i(params: dict, in_channels: int = 3, patch_size: int = 16,
+                    prefix: str = "denoiser.") -> Dict[str, np.ndarray]:
+    """DeCoT2I params -> torch state dict (config-implied t2i layout)."""
+    p = params.get("params", params)
+    trunk = p["trunk"]
+    out: Dict[str, np.ndarray] = {}
+    out[prefix + "s_embedder.proj.weight"] = _unfold_perm_inv(
+        trunk["s_embedder"]["proj"]["kernel"], in_channels, patch_size)
+    out[prefix + "s_embedder.proj.bias"] = np.asarray(
+        trunk["s_embedder"]["proj"]["bias"])
+    for a, b in (("mlp_0", "mlp.0"), ("mlp_2", "mlp.2")):
+        out[prefix + f"t_embedder.{b}.weight"] = _t(
+            trunk["t_embedder"][a]["kernel"])
+        out[prefix + f"t_embedder.{b}.bias"] = np.asarray(
+            trunk["t_embedder"][a]["bias"])
+    out[prefix + "y_embedder.proj.weight"] = _t(
+        trunk["y_embedder"]["proj"]["kernel"])
+    out[prefix + "y_embedder.proj.bias"] = np.asarray(
+        trunk["y_embedder"]["proj"]["bias"])
+    out[prefix + "y_embedder.norm.weight"] = np.asarray(
+        trunk["y_embedder"]["norm"]["weight"])
+    out[prefix + "y_pos_embedding"] = np.asarray(trunk["y_pos_embedding"])
+    text = trunk["text_refine_blocks"]["block"]
+    for i in range(np.asarray(text["norm1"]["weight"]).shape[0]):
+        _export_t2i_block(text, out, f"{prefix}text_refine_blocks.{i}.", i,
+                          joint=False)
+    blocks = trunk["blocks"]["block"]
+    n_enc = np.asarray(blocks["norm1"]["weight"]).shape[0]
+    for i in range(n_enc):
+        _export_t2i_block(blocks, out, f"{prefix}blocks.{i}.", i, joint=True)
+    out[prefix + "x_embedder.embedder.0.weight"] = _t(
+        p["x_embedder"]["embedder"]["kernel"])
+    out[prefix + "x_embedder.embedder.0.bias"] = np.asarray(
+        p["x_embedder"]["embedder"]["bias"])
+    _export_simple_mlp_adaln(p["dec_net"], out, prefix + "dec_net.")
+    return out
+
+
 def export_checkpoint(model_params, ema_params=None, model_kind: str = "deco_c2i",
                       **kwargs) -> Dict[str, np.ndarray]:
     """Full checkpoint export: denoiser.* + ema_denoiser.* (lightning layout)."""
-    assert model_kind == "deco_c2i", "t2i export lands with the t2i round-trip"
-    out = export_deco_c2i(model_params, prefix="denoiser.", **kwargs)
+    exporters = {"deco_c2i": export_deco_c2i, "deco_t2i": export_deco_t2i}
+    export = exporters[model_kind]
+    out = export(model_params, prefix="denoiser.", **kwargs)
     if ema_params is not None:
-        out.update(export_deco_c2i(ema_params, prefix="ema_denoiser.", **kwargs))
+        out.update(export(ema_params, prefix="ema_denoiser.", **kwargs))
     return out
 
 

@@ -65,3 +65,34 @@ class TestRoundTrip:
         assert any(k.startswith("ema_denoiser.") for k in out)
         sub = select_prefix(out, "ema_denoiser.")
         assert "s_embedder.proj.weight" in sub
+
+
+class TestT2IRoundTrip:
+    def test_t2i_flax_torch_flax_identity(self):
+        import jax
+
+        from deco_tpu.convert.flax_to_torch import export_deco_t2i
+        from deco_tpu.convert.torch_to_flax import convert_deco_t2i
+        from deco_tpu.models.dit_t2i import DeCoT2I
+
+        kw = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+                  decoder_hidden_size=8, num_encoder_blocks=2,
+                  num_decoder_blocks=1, num_text_blocks=1, txt_embed_dim=16,
+                  txt_max_length=6)
+        model = DeCoT2I(**kw)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)),
+            jnp.zeros((1, 6, 16)),
+        )["params"]
+        sd = export_deco_t2i(params, in_channels=3, patch_size=4, prefix="")
+        back = convert_deco_t2i(sd, in_channels=3, patch_size=4,
+                                num_encoder_blocks=2, num_text_blocks=1)
+        flat_a = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+        assert set(flat_a) == set(flat_b), (
+            sorted(set(map(str, flat_a)) - set(map(str, flat_b)))[:3],
+            sorted(set(map(str, flat_b)) - set(map(str, flat_a)))[:3],
+        )
+        for k in flat_a:
+            np.testing.assert_allclose(flat_a[k], flat_b[k], atol=1e-6,
+                                       err_msg=str(k))
