@@ -103,3 +103,43 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6):
     vals, _ = np.linalg.eigh((inner + inner.T) / 2)
     tr_sqrt = np.sqrt(np.clip(vals, 0, None)).sum()
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * tr_sqrt)
+
+
+def fid_from_images(images01_a, images01_b, inception_variables=None,
+                    batch_size: int = 64) -> float:
+    """In-framework FID between two image sets ([0,1] NHWC uint8/float).
+
+    Uses the Flax InceptionV3 pool3 tower (weights-gated — see
+    deco_tpu.models.inception); the ADM npz export remains the canonical
+    protocol for published-number comparisons.
+    """
+    import jax
+
+    from deco_tpu.models.inception import (
+        InceptionV3Features,
+        compute_fid_features,
+    )
+
+    if inception_variables is None:
+        import warnings
+
+        warnings.warn(
+            "FID with a randomly initialized Inception tower — values are "
+            "self-consistent but not comparable to published FIDs."
+        )
+        model = InceptionV3Features()
+        inception_variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+    feats = []
+    for imgs in (images01_a, images01_b):
+        arr = np.asarray(imgs, np.float32)
+        if arr.max() > 1.5:  # uint8 range
+            arr = arr / 255.0
+        feats.append(compute_fid_features(arr, inception_variables, batch_size))
+    stats = []
+    for f in feats:
+        s = FIDStats(f.shape[1])
+        s.update(f)
+        stats.append(s.finalize())
+    return frechet_distance(*stats[0], *stats[1])

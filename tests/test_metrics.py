@@ -73,3 +73,73 @@ class TestFID:
         ref = FIDStats(4)
         ref.update(acts)
         np.testing.assert_allclose(s1.finalize()[0], ref.finalize()[0], atol=1e-12)
+
+
+class TestInceptionFID:
+    def test_identical_sets_zero(self):
+        import warnings
+
+        import jax
+
+        warnings.filterwarnings("ignore")
+        from deco_tpu.train.metrics import fid_from_images
+
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        fid = fid_from_images(imgs, imgs)
+        assert abs(fid) < 1e-3
+
+    def test_different_sets_positive(self):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        from deco_tpu.train.metrics import fid_from_images
+
+        rng = np.random.RandomState(1)
+        a = rng.rand(8, 32, 32, 3).astype(np.float32)
+        b = np.clip(a + 0.5, 0, 1)
+        # the untrained fallback tower is weakly discriminative; assert the
+        # ordering rather than a magnitude (real use loads converted weights)
+        assert fid_from_images(a, b) > 10 * max(fid_from_images(a, a), 1e-9)
+
+    def test_converter_shapes(self):
+        """Converter maps a torchvision-layout random state dict exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from deco_tpu.models.inception import (
+            InceptionV3Features,
+            inception_params_from_torch,
+        )
+
+        model = InceptionV3Features()
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        # build a fake torch state dict from our own params (layout inverse)
+        sd = {}
+        flat = jax.tree_util.tree_flatten_with_path(ref["params"])[0]
+        for path, leaf in flat:
+            keys = [p.key for p in path]
+            name = ".".join(keys[:-2])
+            if keys[-2] == "conv":
+                sd[name + ".conv.weight"] = np.asarray(leaf).transpose(3, 2, 0, 1)
+            elif keys[-1] == "scale":
+                sd[name + ".bn.weight"] = np.asarray(leaf)
+            elif keys[-1] == "bias":
+                sd[name + ".bn.bias"] = np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            ref["batch_stats"]
+        )[0]:
+            keys = [p.key for p in path]
+            name = ".".join(keys[:-2])
+            stat = "running_mean" if keys[-1] == "mean" else "running_var"
+            sd[name + f".bn.{stat}"] = np.asarray(leaf)
+        back = inception_params_from_torch(sd)
+        for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(ref)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0],
+        ):
+            assert la.shape == lb.shape, (pa, la.shape, lb.shape)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(ref["params"])[0]),
+            np.asarray(jax.tree.leaves(back["params"])[0]),
+        )
