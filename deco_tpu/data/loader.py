@@ -17,12 +17,31 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-def collate(samples):
+def collate(samples, micro_batch: bool = False):
     """Stack (x, y, metadata) tuples; metadata values stacked when array-like.
 
     Mirrors the reference collate (lightning_data.py:30-50): array metadata is
-    stacked, scalars become arrays, non-numeric stay lists.
+    stacked, scalars become arrays, non-numeric stay lists. ``micro_batch``
+    concatenates pre-batched samples instead of stacking (the reference's
+    micro-batch collate for datasets exposing ``micro_batch_size``,
+    lightning_data.py:11-28).
     """
+    if micro_batch:
+        xs = np.concatenate([np.asarray(s[0], np.float32) for s in samples])
+        ys_raw = [y for s in samples for y in (
+            s[1] if isinstance(s[1], (list, np.ndarray)) else [s[1]]
+        )]
+        metadata = {}
+        for k in samples[0][2].keys():
+            vals = [s[2][k] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                metadata[k] = np.concatenate(vals)
+            else:
+                metadata[k] = [v for val in vals
+                               for v in (val if isinstance(val, list) else [val])]
+        if isinstance(ys_raw[0], (int, np.integer)):
+            return xs, np.asarray(ys_raw, np.int64), metadata
+        return xs, ys_raw, metadata
     xs = np.stack([np.asarray(s[0], np.float32) for s in samples])
     ys_raw = [s[1] for s in samples]
     if isinstance(ys_raw[0], (int, np.integer)):
@@ -108,8 +127,11 @@ class ShardedLoader:
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = threading.Event()
 
+            micro = getattr(self.dataset, "micro_batch_size", None) is not None
+
             def fetch(bidx):
-                return collate([self.dataset[int(i)] for i in bidx])
+                return collate([self.dataset[int(i)] for i in bidx],
+                               micro_batch=micro)
 
             def producer():
                 futures = [pool.submit(fetch, b) for b in batches[: self.prefetch]]
