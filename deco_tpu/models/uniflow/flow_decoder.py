@@ -123,6 +123,11 @@ class FlowDecoder(nn.Module):
             cfg_per_step = np.where(on, cfg, 1.0).astype(np.float32)
         x = jax.random.normal(rng, (b, n, self.target_channels))
 
+        if self.is_initializing():
+            # materialize net params OUTSIDE the scan trace: params created
+            # inside lax.scan during flax init would leak tracers into the tree
+            return self.net(x.astype(self.dtype), jnp.zeros((b, n)), z_emb)
+
         steps = dict(t=jnp.asarray(ts), dt=jnp.asarray(dts))
         if use_cfg:
             steps["cfg"] = jnp.asarray(cfg_per_step)

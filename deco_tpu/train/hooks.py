@@ -93,6 +93,109 @@ class SaveImagesHook:
         return out_path
 
 
+class ComputeMetricsHook:
+    """Streaming PSNR/SSIM (+ optional in-framework FID) over predicted vs
+    original batches.
+
+    TPU-native equivalent of the reference's three ComputeMetricsHook variants
+    (``src/callbacks/compute_metrics*.py:12`` of hhhhzp/DeCo): torchmetrics'
+    internal DDP sync becomes an explicit cross-host merge of the streaming
+    statistics (``multihost_utils.process_allgather``); Inception features come
+    from the Flax tower in :mod:`deco_tpu.models.inception`.
+    """
+
+    def __init__(self, compute_fid: bool = True, fid_feature_dim: int = 2048,
+                 data_range: float = 255.0, inception_variables=None):
+        self.compute_fid = compute_fid
+        self.data_range = data_range
+        self.inception_variables = inception_variables
+        self._fid_dim = fid_feature_dim
+        self.reset()
+
+    def reset(self):
+        from deco_tpu.train.metrics import FIDStats
+
+        self._psnr_sum = 0.0
+        self._ssim_sum = 0.0
+        self._n_batches = 0
+        self._real = FIDStats(self._fid_dim)
+        self._fake = FIDStats(self._fid_dim)
+        self._inception_apply = None
+
+    def _features(self, images_uint8: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from deco_tpu.models.inception import InceptionV3Features
+
+        if self._inception_apply is None:
+            model = InceptionV3Features()
+            if self.inception_variables is None:
+                import warnings
+
+                warnings.warn(
+                    "ComputeMetricsHook FID with a randomly initialized "
+                    "Inception tower — self-consistent, not comparable to "
+                    "published FIDs (load converted torchvision weights)."
+                )
+                self.inception_variables = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+                )
+            self._inception_apply = jax.jit(
+                lambda v, x: model.apply(v, x)
+            )
+        x01 = jnp.asarray(images_uint8, jnp.float32) / 255.0
+        return np.asarray(self._inception_apply(self.inception_variables, x01))
+
+    def on_batch_end(self, pred_uint8: np.ndarray, original_uint8: np.ndarray):
+        """Both (B, H, W, 3) uint8 host arrays (fp2uint8 output)."""
+        import jax.numpy as jnp
+
+        from deco_tpu.train.metrics import psnr, ssim
+
+        p = jnp.asarray(pred_uint8, jnp.float32)
+        o = jnp.asarray(original_uint8, jnp.float32)
+        self._psnr_sum += float(psnr(p, o, data_range=self.data_range))
+        self._ssim_sum += float(ssim(p, o, data_range=self.data_range))
+        self._n_batches += 1
+        if self.compute_fid:
+            self._real.update(self._features(original_uint8))
+            self._fake.update(self._features(pred_uint8))
+
+    def on_epoch_end(self, prefix: str = "metrics") -> dict:
+        import jax
+
+        from deco_tpu.train.metrics import frechet_distance
+
+        psnr_sum, ssim_sum, n = self._psnr_sum, self._ssim_sum, self._n_batches
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.asarray([psnr_sum, ssim_sum, float(n)])
+            )
+            psnr_sum, ssim_sum, n = gathered.sum(0)
+            for stats in (self._real, self._fake):
+                parts = multihost_utils.process_allgather(
+                    np.concatenate([[stats.n], stats.s1, stats.s2.ravel()])
+                )
+                total = parts.sum(0)
+                stats.n = int(total[0])
+                d = stats.s1.shape[0]
+                stats.s1 = total[1:1 + d]
+                stats.s2 = total[1 + d:].reshape(d, d)
+        out = {}
+        if n:
+            out[f"{prefix}/psnr"] = psnr_sum / n
+            out[f"{prefix}/ssim"] = ssim_sum / n
+        if self.compute_fid and self._real.n > 1:
+            out[f"{prefix}/fid"] = frechet_distance(
+                *self._real.finalize(), *self._fake.finalize()
+            )
+        self.reset()
+        return out
+
+
 class ScalarLogger:
     """JSONL + optional TensorBoard step-scalar logger."""
 

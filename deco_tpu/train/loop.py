@@ -17,6 +17,7 @@ Responsibilities mapped from the reference:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -82,6 +83,8 @@ class Experiment:
             if cp.endswith("SaveImagesHook"):
                 args = cb.get("init_args", {})
                 self.save_images_cfg = args
+            if cp.endswith("ComputeMetricsHook"):
+                self.metrics_hook_cfg = cb.get("init_args", {})
         if not hasattr(self, "save_images_cfg"):
             self.save_images_cfg = {"save_dir": "val"}
         self.diffusion_batch_mul = model_cfg.get("diffusion_batch_mul", 1)
@@ -223,6 +226,11 @@ class Experiment:
 
         hook = SaveImagesHook(**self.save_images_cfg)
         hook.on_predict_start(self.workdir, int(state.step))
+        metrics_hook = None
+        if getattr(self, "metrics_hook_cfg", None) is not None:
+            from deco_tpu.train.hooks import ComputeMetricsHook
+
+            metrics_hook = ComputeMetricsHook(**self.metrics_hook_cfg)
         rng = jax.random.PRNGKey(1234)
         with jax.set_mesh(self.mesh):
             for bi, (bx, by, bmeta) in enumerate(loader):
@@ -235,4 +243,17 @@ class Experiment:
                 imgs = self.vae.decode(imgs)
                 u8 = np.asarray(jax.device_get(fp_to_uint8(imgs)))
                 hook.on_predict_batch_end(u8, bmeta)
+                if metrics_hook is not None and "raw_image" in bmeta:
+                    raw = np.asarray(bmeta["raw_image"], np.float32)
+                    if raw.ndim == 4 and raw.shape[1] in (1, 3):
+                        raw = raw.transpose(0, 2, 3, 1)  # torch-layout datasets
+                    metrics_hook.on_batch_end(
+                        u8, np.clip(raw * 255.0, 0, 255).astype(np.uint8)
+                    )
+        if metrics_hook is not None and metrics_hook._n_batches:
+            scores = metrics_hook.on_epoch_end()
+            if jax.process_index() == 0:
+                with open(os.path.join(self.workdir, "predict_metrics.json"),
+                          "w") as f:
+                    json.dump({k: float(v) for k, v in scores.items()}, f)
         return hook.on_predict_end()

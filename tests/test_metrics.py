@@ -143,3 +143,35 @@ class TestInceptionFID:
             np.asarray(jax.tree.leaves(ref["params"])[0]),
             np.asarray(jax.tree.leaves(back["params"])[0]),
         )
+
+
+class TestComputeMetricsHook:
+    def test_streaming_and_scores(self):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        from deco_tpu.train.hooks import ComputeMetricsHook
+
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+        hook = ComputeMetricsHook(compute_fid=True)
+        hook.on_batch_end(a, a)
+        hook.on_batch_end(a, a)
+        scores = hook.on_epoch_end()
+        assert scores["metrics/psnr"] > 100
+        np.testing.assert_allclose(scores["metrics/ssim"], 1.0, atol=1e-5)
+        assert abs(scores["metrics/fid"]) < 1e-3
+        # state reset for the next epoch
+        assert hook._n_batches == 0
+
+    def test_no_fid_mode(self):
+        from deco_tpu.train.hooks import ComputeMetricsHook
+
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+        b = 255 - a
+        hook = ComputeMetricsHook(compute_fid=False)
+        hook.on_batch_end(a, b)
+        scores = hook.on_epoch_end()
+        assert "metrics/fid" not in scores
+        assert scores["metrics/psnr"] < 20
