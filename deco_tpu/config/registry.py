@@ -72,6 +72,7 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     # datasets
     "src.data.dataset.imagenet.PixImageNet": "deco_tpu.data.imagenet.PixImageNet",
     "src.data.dataset.imagenet.PixHFDataset": "deco_tpu.data.imagenet.PixHFDataset",
+    "src.data.dataset.imagenet.PixWebDataset": "deco_tpu.data.webdataset.PixWebDataset",
     "src.data.dataset.randn.RandomNDataset": "deco_tpu.data.randn.RandomNDataset",
     "src.data.dataset.randn.ClassLabelRandomNDataset": "deco_tpu.data.randn.ClassLabelRandomNDataset",
     "src.data.dataset.geneval.GenEvalDataset": "deco_tpu.data.geneval.GenEvalDataset",

@@ -164,3 +164,68 @@ class ShardedLoader:
             if not self.infinite:
                 break
         self.epoch = epoch
+
+
+class IterableLoader:
+    """Batching wrapper for iterable (streaming) datasets.
+
+    The reference DataModule skips DistributedSampler for IterableDatasets
+    (lightning_data.py, ``use_distributed_sampler: false``) — sharding is the
+    dataset's job (e.g. PixWebDataset). This wrapper only collates and
+    prefetches on a background thread.
+    """
+
+    def __init__(self, dataset, batch_size: int, drop_last: bool = True,
+                 prefetch: int = 4, infinite: bool = False, **_ignored):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.infinite = infinite
+
+    def _batches(self):
+        while True:
+            buf = []
+            for sample in self.dataset:
+                buf.append(sample)
+                if len(buf) == self.batch_size:
+                    yield collate(buf)
+                    buf = []
+            if buf and not self.drop_last:
+                yield collate(buf)
+            if not self.infinite:
+                return
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(b)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def make_loader(dataset, batch_size: int, **kwargs):
+    """ShardedLoader for map-style datasets, IterableLoader for streams."""
+    if hasattr(dataset, "__len__") and hasattr(dataset, "__getitem__"):
+        return ShardedLoader(dataset, batch_size, **kwargs)
+    for k in ("shuffle", "seed", "num_workers", "process_index",
+              "process_count"):
+        kwargs.pop(k, None)
+    return IterableLoader(dataset, batch_size, **kwargs)

@@ -110,7 +110,10 @@ class Experiment:
     # ---- setup ----
 
     def _example_batch(self, dataset, batch_size):
-        x, y, _ = dataset[0]
+        if hasattr(dataset, "__getitem__"):
+            x, y, _ = dataset[0]
+        else:  # streaming dataset (PixWebDataset): peek the first sample
+            x, y, _ = next(iter(dataset))
         x = jnp.zeros((batch_size,) + np.asarray(x).shape, jnp.float32)
         cond, uncond = self.conditioner([y] * batch_size)
         return x, cond, uncond
@@ -134,14 +137,14 @@ class Experiment:
     # ---- fit ----
 
     def fit(self, ckpt_path: Optional[str] = None, max_steps: Optional[int] = None):
-        from deco_tpu.data.loader import ShardedLoader
+        from deco_tpu.data.loader import make_loader
 
         data_cfg = self.config["data"]
         dataset = registry.instantiate(data_cfg["train_dataset"])
         # reference batch sizes are per-device (per-GPU); global = x data axis
         batch_size = data_cfg.get("train_batch_size", 32) * self.mesh.shape[
             mesh_lib.DATA_AXIS]
-        loader = ShardedLoader(
+        loader = make_loader(
             dataset, batch_size,
             num_workers=data_cfg.get("train_num_workers", 4), infinite=True,
         )
@@ -197,13 +200,13 @@ class Experiment:
     def predict(self, state: Optional[TrainState] = None,
                 ckpt_path: Optional[str] = None, use_ema: bool = True,
                 max_batches: Optional[int] = None, dataset_key: str = "pred_dataset"):
-        from deco_tpu.data.loader import ShardedLoader
+        from deco_tpu.data.loader import make_loader
 
         data_cfg = self.config["data"]
         dataset = registry.instantiate(data_cfg[dataset_key])
         batch_size = data_cfg.get("pred_batch_size", 32) * self.mesh.shape[
             mesh_lib.DATA_AXIS]
-        loader = ShardedLoader(
+        loader = make_loader(
             dataset, batch_size, shuffle=False, drop_last=True,
             num_workers=data_cfg.get("pred_num_workers", 1),
         )

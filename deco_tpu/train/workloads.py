@@ -25,7 +25,7 @@ def is_vae_config(config: Dict[str, Any]) -> bool:
 def run_uniflow(config: Dict[str, Any], max_steps: Optional[int] = None,
                 workdir: str = "./workdirs_uniflow"):
     from deco_tpu.data.imagenet import PixImageNet
-    from deco_tpu.data.loader import ShardedLoader
+    from deco_tpu.data.loader import make_loader
     from deco_tpu.models.uniflow import UniFlowConfig
     from deco_tpu.train.hooks import ScalarLogger
     from deco_tpu.train.uniflow_loop import UniFlowExperiment, UniFlowTrainConfig
@@ -40,7 +40,7 @@ def run_uniflow(config: Dict[str, Any], max_steps: Optional[int] = None,
     res = data_cfg.get("resolution", model_cfg.image_size)
     batch = data_cfg.get("batch_size", 8)
     dataset = PixImageNet(data_cfg["train_root"], resolution=res)
-    loader = ShardedLoader(dataset, batch, infinite=True)
+    loader = make_loader(dataset, batch, infinite=True)
 
     rng = jax.random.PRNGKey(0)
     state = exp.init_state(rng, jnp.zeros((batch, res, res, 3)))
@@ -61,7 +61,7 @@ def run_uniflow(config: Dict[str, Any], max_steps: Optional[int] = None,
 def run_vae_gan(config: Dict[str, Any], max_steps: Optional[int] = None,
                 workdir: str = "./workdirs_vae"):
     from deco_tpu.data.imagenet import PixImageNet
-    from deco_tpu.data.loader import ShardedLoader
+    from deco_tpu.data.loader import make_loader
     from deco_tpu.models.gan.discriminator import NLayerDiscriminator
     from deco_tpu.models.gan.vae_loss import VAEGANLoss
     from deco_tpu.models.perceptual import PerceptualLoss
@@ -102,7 +102,7 @@ def run_vae_gan(config: Dict[str, Any], max_steps: Optional[int] = None,
     res = data_cfg.get("resolution", vit.image_size)
     batch = data_cfg.get("batch_size", 4)
     dataset = PixImageNet(data_cfg["train_root"], resolution=res)
-    loader = ShardedLoader(dataset, batch, infinite=True)
+    loader = make_loader(dataset, batch, infinite=True)
 
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((batch, res, res, 3))
