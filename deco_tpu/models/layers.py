@@ -552,6 +552,7 @@ class SimpleMLPAdaLN(nn.Module):
     num_res_blocks: int
     patch_size: int
     dtype: Dtype = jnp.bfloat16
+    grad_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x, z):
@@ -566,8 +567,16 @@ class SimpleMLPAdaLN(nn.Module):
             name="cond_embed",
         )(z)
         y = c.reshape(c.shape[:-1] + (self.patch_size**2, self.model_channels))
+        # per-block remat: the per-pixel (B, L, P^2, C) activations dominate
+        # training HBM; one remat scope per res block keeps the backward
+        # working set at a single block's intermediates. prevent_cse must stay
+        # True here — outside nn.scan, XLA CSE would fold the recompute back
+        # into the forward and silently keep every activation alive (measured:
+        # peak identical to no-remat with prevent_cse=False)
+        block_cls = (nn.remat(AdaLNResBlock)
+                     if self.grad_checkpoint else AdaLNResBlock)
         for i in range(self.num_res_blocks):
-            x = AdaLNResBlock(dtype=self.dtype, name=f"res_blocks_{i}")(x, y)
+            x = block_cls(dtype=self.dtype, name=f"res_blocks_{i}")(x, y)
         # final: plain LayerNorm + zero-init linear (FinalLayer :275-291)
         x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                          dtype=self.dtype, name="final_norm")(x)
