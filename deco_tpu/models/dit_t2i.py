@@ -291,6 +291,7 @@ class DeCoT2I(nn.Module):
             num_res_blocks=self.num_decoder_blocks,
             patch_size=p,
             dtype=self.dtype,
+            grad_checkpoint=self.grad_checkpoint,
             name="dec_net",
         )(x_pix, s)
         out = out.reshape(b, gh * gw, p * p * self.in_channels)
