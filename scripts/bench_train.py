@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=32, remat=True, steps=8, dec_blocks=6):
+def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256):
     import optax
 
     from deco_tpu.diffusion.scheduling import LinearScheduler
@@ -35,7 +35,7 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6):
     )
     trainer = DeCoTrainer(scheduler=LinearScheduler(), enable_freq_loss=True)
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((batch, 256, 256, 3), jnp.float32)
+    x = jnp.zeros((batch, res, res, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.float32)
     y = jnp.zeros((batch,), jnp.int32)
     variables = jax.jit(model.init)(rng, x, t, y)
@@ -44,7 +44,7 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6):
     apply_fn = lambda p, x_t, t, y, **kw: model.apply(p, x_t, t, y, **kw)
     step_fn = make_train_step(apply_fn, trainer)
 
-    data = np.random.RandomState(0).randn(batch, 256, 256, 3).astype(np.float32)
+    data = np.random.RandomState(0).randn(batch, res, res, 3).astype(np.float32)
     cond = np.arange(batch, dtype=np.int32) % 1000
     uncond = np.full((batch,), 1000, np.int32)
     mk = lambda i: {"x": jnp.asarray(data + i * 1e-3),
@@ -59,7 +59,7 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6):
         state, metrics = step_fn(state, mk(i + 1), jax.random.PRNGKey(2 + i))
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
-    print(f"batch={batch} remat={remat}: {dt*1e3:.1f} ms/step = "
+    print(f"res={res} batch={batch} remat={remat}: {dt*1e3:.1f} ms/step = "
           f"{batch/dt:.1f} img/s  (compile+1st {compile_s:.1f}s)")
 
 
@@ -67,4 +67,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     d = int(sys.argv[3]) if len(sys.argv) > 3 else 6
-    main(b, r, dec_blocks=d)
+    res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    main(b, r, dec_blocks=d, res=res)
