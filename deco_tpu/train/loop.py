@@ -74,6 +74,8 @@ class Experiment:
         self.ckpt_every = 10000
         self.log_every = trainer_cfg.get("log_every_n_steps", 50)
         self.grad_clip = trainer_cfg.get("gradient_clip_val")
+        self.accumulate_grad_batches = trainer_cfg.get(
+            "accumulate_grad_batches", 1)
         for cb in trainer_cfg.get("callbacks", []):
             cp = cb.get("class_path", "")
             if cp.endswith("CheckpointHook"):
@@ -141,9 +143,11 @@ class Experiment:
 
         data_cfg = self.config["data"]
         dataset = registry.instantiate(data_cfg["train_dataset"])
-        # reference batch sizes are per-device (per-GPU); global = x data axis
-        batch_size = data_cfg.get("train_batch_size", 32) * self.mesh.shape[
-            mesh_lib.DATA_AXIS]
+        # reference batch sizes are per-device (per-GPU); global = x data axis;
+        # accumulate_grad_batches folds k loader batches into one jitted step
+        batch_size = (data_cfg.get("train_batch_size", 32)
+                      * self.mesh.shape[mesh_lib.DATA_AXIS]
+                      * self.accumulate_grad_batches)
         loader = make_loader(
             dataset, batch_size,
             num_workers=data_cfg.get("train_num_workers", 4), infinite=True,
@@ -166,6 +170,7 @@ class Experiment:
             ema_every=self.ema_cfg.every_n_steps,
             diffusion_batch_mul=self.diffusion_batch_mul,
             grad_clip=self.grad_clip,
+            accumulate_grad_batches=self.accumulate_grad_batches,
         )
         logger = ScalarLogger(self.workdir, log_every_n_steps=self.log_every)
         rng = jax.random.PRNGKey(self.config.get("seed", 0))

@@ -27,6 +27,7 @@ def make_train_step(
     diffusion_batch_mul: int = 1,
     grad_clip: Optional[float] = None,
     donate: bool = True,
+    accumulate_grad_batches: int = 1,
 ):
     """Build the jitted train step.
 
@@ -34,6 +35,13 @@ def make_train_step(
     a :mod:`deco_tpu.diffusion.training` objective. Returns
     ``train_step(state, batch, rng) -> (state, metrics)`` where batch is a
     dict with ``x`` (NHWC), ``condition``, ``uncondition``.
+
+    ``accumulate_grad_batches`` > 1 reproduces the reference's
+    ``accumulate_grad_batches`` (configs_c2i/DeCo_XL_512.yaml:15): the batch is
+    split into k microbatches scanned inside the jitted step — activations for
+    one microbatch at a time, gradients averaged, ONE optimizer/EMA update.
+    Grad clip applies to the accumulated gradient, matching Lightning's
+    clip-at-optimizer-step semantics.
     """
 
     def loss_fn(params, batch, rng):
@@ -52,9 +60,38 @@ def make_train_step(
         return out["loss"], out
 
     def train_step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        if accumulate_grad_batches > 1:
+            k = accumulate_grad_batches
+
+            def split(a):
+                return a.reshape((k, a.shape[0] // k) + a.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+
+            def body(acc, inp):
+                mb, sub_rng = inp
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, sub_rng
+                )
+                acc_g, acc_m = acc
+                acc_g = jax.tree.map(lambda a, b: a + b / k, acc_g, g)
+                acc_m = jax.tree.map(lambda a, b: a + b / k, acc_m, m)
+                return (acc_g, acc_m), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            mb0 = jax.tree.map(lambda a: a[0], micro)
+            zero_m = jax.eval_shape(
+                lambda p, b, r: loss_fn(p, b, r)[1], state.params, mb0, rng
+            )
+            zeros_m = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype), zero_m)
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zeros_g, zeros_m),
+                (micro, jax.random.split(rng, k)),
+            )
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
         if grad_clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))

@@ -165,3 +165,75 @@ class TestDDPMSamplers:
             rng=jax.random.PRNGKey(0),
         )
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestGradAccumulation:
+    """accumulate_grad_batches=k must equal one full-batch step exactly
+    when the objective is deterministic (mean-of-microbatch-means == full mean
+    for equal microbatch sizes)."""
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from flax import linen as nn
+
+        from deco_tpu.train.state import TrainState
+        from deco_tpu.train.train_step import make_train_step
+
+        class TinyNet(nn.Module):
+            @nn.compact
+            def __call__(self, x_t, t, y, **kw):
+                return nn.Dense(3)(x_t)
+
+        class DetTrainer:
+            def __call__(self, rng, net, x, cond, uncond, metadata=None,
+                         params=None):
+                pred = net(x, jnp.zeros(x.shape[0]), cond)
+                loss = jnp.mean((pred - 1.0) ** 2)
+                return {"loss": loss}
+
+        net = TinyNet()
+        x = jnp.zeros((4, 8, 8, 3))
+        params = net.init(jax.random.PRNGKey(0), x, None, None)
+        apply_fn = lambda p, *a, **kw: net.apply(p, *a, **kw)
+        tx = optax.adamw(1e-2)
+        batch = {
+            "x": jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 3),
+                             jnp.float32),
+            "condition": jnp.zeros((4,), jnp.int32),
+            "uncondition": jnp.zeros((4,), jnp.int32),
+        }
+        return (make_train_step, TrainState, apply_fn, DetTrainer(), tx,
+                params, batch)
+
+    def test_k2_matches_full_batch(self):
+        import jax
+        import jax.numpy as jnp
+
+        (make_train_step, TrainState, apply_fn, trainer, tx, params,
+         batch) = self._setup()
+        rng = jax.random.PRNGKey(7)
+        s1 = TrainState.create(params, tx)
+        step1 = make_train_step(apply_fn, trainer, donate=False)
+        s1, m1 = step1(s1, batch, rng)
+        s2 = TrainState.create(params, tx)
+        step2 = make_train_step(apply_fn, trainer, donate=False,
+                                accumulate_grad_batches=2)
+        s2, m2 = step2(s2, batch, rng)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_k2_with_grad_clip_runs(self):
+        import jax
+
+        (make_train_step, TrainState, apply_fn, trainer, tx, params,
+         batch) = self._setup()
+        state = TrainState.create(params, tx)
+        step = make_train_step(apply_fn, trainer, donate=False,
+                               accumulate_grad_batches=2, grad_clip=0.1)
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "grad_norm" in metrics
