@@ -23,7 +23,9 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Established on TPU v5e-1 in round 1 (this file, batch 32, 50-step Euler CFG).
+# Established on TPU v5e-1 in round 1 (this file, batch 20, 50-step Euler CFG;
+# batch sweep: 16->4.33, 18->4.46, 20->4.46 best, 22->4.35, 24->4.33, 28->4.31,
+# 32->4.17, 40->4.02, 64->2.78).
 REFERENCE_IMG_PER_SEC = 3.161
 
 
@@ -33,7 +35,7 @@ def main():
     from deco_tpu.models.dit_c2i_deco import DeCoC2I
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 32 if on_tpu else 2
+    batch = 20 if on_tpu else 2
     steps = 50 if on_tpu else 2
     size = 256 if on_tpu else 32
     model_kw = dict(
