@@ -218,6 +218,12 @@ def convert_deco_c2i(
     if num_cond_blocks is None:
         idxs = {int(m.group(1)) for k in sd
                 if (m := re.match(r"blocks\.(\d+)\.", k))}
+        if not idxs:
+            raise ValueError(
+                "no blocks.N.* keys found — not a DeCo c2i state dict "
+                "(check --model / --prefix; sample keys: "
+                f"{sorted(sd)[:3]})"
+            )
         num_cond_blocks = max(idxs) + 1
     params: dict = {
         "s_embedder": {
