@@ -213,11 +213,12 @@ def _freq_mse_kernel(diff_ref, ycc_ref, cmat_ref, w_ref, acc_ref, *, n_blocks_w)
     acc_ref[0, 0] += total
 
 
-def frequency_weighted_mse_pallas(diff, freq_w):
+def frequency_weighted_mse_pallas(diff, freq_w, interpret: bool = False):
     """Fused Pallas path of :func:`frequency_weighted_mse_xla`.
 
     Requires H, W divisible by 8 (always true for the 256/512 px workloads; the
-    XLA path handles ragged shapes with reflect padding).
+    XLA path handles ragged shapes with reflect padding). ``interpret=True``
+    runs the kernel in Pallas interpret mode (CPU equivalence tests).
     """
     b, h, w, c = diff.shape
     assert c == 3 and h % BLOCK == 0 and w % BLOCK == 0
@@ -238,6 +239,7 @@ def frequency_weighted_mse_pallas(diff, freq_w):
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
     )(
         x,
         jnp.asarray(RGB2YCBCR.T),
@@ -247,18 +249,39 @@ def frequency_weighted_mse_pallas(diff, freq_w):
     return acc[0, 0] / (b * h * w * c)
 
 
+def _freq_mse_forward(diff, freq_w):
+    """Dispatch: fused Pallas kernel on accelerators for 8-aligned shapes,
+    pure XLA otherwise (CPU, ragged shapes). ``DECO_FREQ_MSE_IMPL`` in
+    {pallas, xla} forces a path for perf A/B."""
+    import os
+
+    b, h, w, c = diff.shape
+    aligned = c == 3 and h % BLOCK == 0 and w % BLOCK == 0
+    forced = os.environ.get("DECO_FREQ_MSE_IMPL")
+    if forced == "xla":
+        use_pallas = False
+    elif forced == "pallas":
+        use_pallas = True
+    else:
+        use_pallas = aligned and jax.default_backend() != "cpu"
+    if use_pallas:
+        return frequency_weighted_mse_pallas(diff, freq_w)
+    return frequency_weighted_mse_xla(diff, freq_w)
+
+
 @jax.custom_vjp
 def frequency_weighted_mse(diff, freq_w):
     """Frequency-weighted MSE with a hand-written VJP.
 
-    Forward: mean(freq_w * DCT(YCbCr(diff))^2).
+    Forward: mean(freq_w * DCT(YCbCr(diff))^2) — fused Pallas kernel on TPU
+    (one HBM read of the pixel difference), XLA fallback elsewhere.
     Backward (orthonormal DCT): grad = (2/N) * Ycbcr^T(IDCT(freq_w * F)).
     """
-    return frequency_weighted_mse_xla(diff, freq_w)
+    return _freq_mse_forward(diff, freq_w)
 
 
 def _fwm_fwd(diff, freq_w):
-    return frequency_weighted_mse_xla(diff, freq_w), (diff, freq_w)
+    return _freq_mse_forward(diff, freq_w), (diff, freq_w)
 
 
 def _fwm_bwd(res, g):

@@ -78,3 +78,24 @@ class TestFreqMSEPallas:
             got = block_dct.frequency_weighted_mse_pallas(diff, w)
         want = block_dct.frequency_weighted_mse_xla(diff, w)
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_production_entrypoint_dispatches_pallas(self, monkeypatch):
+        """frequency_weighted_mse (the loss call site) must give identical
+        value AND gradient whichever implementation the dispatcher picks."""
+        rng = np.random.RandomState(5)
+        diff = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+        w = block_dct.build_freq_weight()
+
+        monkeypatch.setenv("DECO_FREQ_MSE_IMPL", "pallas")
+        with pltpu.force_tpu_interpret_mode():
+            val_p = block_dct.frequency_weighted_mse(diff, w)
+            grad_p = jax.grad(
+                lambda d: block_dct.frequency_weighted_mse(d, w)
+            )(diff)
+
+        monkeypatch.setenv("DECO_FREQ_MSE_IMPL", "xla")
+        val_x = block_dct.frequency_weighted_mse(diff, w)
+        grad_x = jax.grad(lambda d: block_dct.frequency_weighted_mse(d, w))(diff)
+
+        np.testing.assert_allclose(val_p, val_x, rtol=1e-4)
+        np.testing.assert_allclose(grad_p, grad_x, rtol=1e-3, atol=1e-6)
