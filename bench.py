@@ -67,6 +67,36 @@ def main():
         net = lambda x, t, y: model.apply(params, x, t, y)
         return sampler(net, noise, cond, uncond)
 
+    def flops_per_image():
+        """XLA's cost model when available, analytic closed form otherwise."""
+        from deco_tpu.utils.flops import deco_c2i_flops, sampler_flops_per_image
+
+        analytic = sampler_flops_per_image(
+            deco_c2i_flops(
+                image_size=size, patch=model_kw["patch_size"],
+                hidden=model_kw["hidden_size"],
+                num_cond_blocks=model_kw["num_cond_blocks"],
+                num_blocks=model_kw["num_blocks"],
+                hidden_x=model_kw["hidden_size_x"],
+            ),
+            num_steps=steps,
+            # uncond-skip: steps with t <= interval_min run conditional-only
+            cfg_batch_factor=(2 * 0.9 + 1 * 0.1),
+        )
+        try:
+            cost = sample.lower(params, noise).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            xla_flops = float(cost.get("flops", 0.0)) / batch
+            # sanity gate: the axon relay's cost model under-reports by ~500x
+            # (measured 4.8e10 vs 2.3e13 analytic); trust XLA only when the
+            # two agree within 3x
+            if xla_flops > 0 and 1 / 3 <= xla_flops / analytic <= 3:
+                return xla_flops, analytic
+        except Exception:
+            pass
+        return analytic, analytic
+
     noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
     t0 = time.perf_counter()
     # fresh noise per iteration + host readback per call: the remote-TPU
@@ -84,11 +114,23 @@ def main():
 
     n_chips = jax.device_count()
     value = img_per_sec / n_chips
+
+    # MFU against the chip's bf16 peak (BASELINE "speed-of-light" bar):
+    # model FLOPs per image x img/s/chip / peak.
+    from deco_tpu.utils.flops import PEAK_FLOPS, mfu as mfu_fn
+
+    fpi, fpi_analytic = flops_per_image()
+    chip = "v5e" if on_tpu else "cpu"
+    mfu = mfu_fn(value, fpi, chip)
+    print(f"# flops/image: {fpi:.3e} (analytic {fpi_analytic:.3e}); "
+          f"peak {PEAK_FLOPS[chip]:.0f}", file=sys.stderr)
     print(json.dumps({
         "metric": "images_per_sec_per_chip_decoXL_256px_50step",
         "value": round(value, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_image": round(fpi, 0),
     }))
 
 
