@@ -34,7 +34,16 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 @dataclasses.dataclass(frozen=True)
 class UniFlowConfig:
-    """Subset of UniFlowVisionConfig driving the architecture (config.json)."""
+    """UniFlowVisionConfig surface (reference configuration_uniflow.py:11-107).
+
+    Accepts every knob of the reference HF config class so the shipped
+    ``src/models/uniflow/config.json`` loads unmodified via
+    :meth:`from_pretrained` — including the reference's string-typed
+    ``num_sampling_steps`` (coerced like ``modeling_uniflow.py:729``) and the
+    config-accepted-but-model-unused ``compression_layers`` /
+    ``num_query_per_layer`` pair (stored for round-trip parity; the reference
+    model never reads them — grep over ``modeling_uniflow.py`` finds no use).
+    """
 
     vit_hidden_size: int = 1024
     llm_hidden_size: int = 1536
@@ -52,6 +61,69 @@ class UniFlowConfig:
     norm_type: str = "layer_norm"
     enable_semantic_branch: bool = True
     enable_pixel_branch: bool = True
+    # --- reference knobs accepted for config parity ---
+    num_channels: int = 3
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-6
+    dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    attention_dropout: float = 0.0
+    initializer_range: float = 0.02
+    initializer_factor: float = 0.1
+    use_flash_attn: bool = True
+    use_global_blocks: bool = True
+    use_cfg: bool = False
+    use_disp_loss: bool = False
+    use_chal_proj: bool = True
+    decoder_type: str = "mlp"
+    compression_layers: tuple = (-1, 4)
+    num_query_per_layer: tuple = (64, 191)
+
+    def __post_init__(self):
+        # reference ships num_sampling_steps as a string ("4"); coerce like
+        # modeling_uniflow.py:729 (int(num_sampling_steps))
+        object.__setattr__(self, "num_sampling_steps",
+                           int(self.num_sampling_steps))
+        for k in ("compression_layers", "num_query_per_layer"):
+            object.__setattr__(self, k, tuple(getattr(self, k)))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "UniFlowConfig":
+        """Build from a reference config dict, tolerating unknown keys.
+
+        Mirrors ``UniFlowVisionConfig.from_pretrained`` semantics
+        (configuration_uniflow.py:86-107): a ``vision_config`` sub-dict is
+        unwrapped; HF bookkeeping keys are ignored. The reference config.json
+        carries both ``hidden_size`` (the ViT width) and ``vit_hidden_size``
+        (the projector input width) — equal for InternViT-2B; ``hidden_size``
+        wins for the encoder when they ever differ is NOT replicated because
+        deco_tpu's encoder reads vit_hidden_size (they are tied upstream too:
+        modeling_uniflow.py builds the ViT from the same config).
+        """
+        if "vision_config" in d:
+            d = d["vision_config"]
+        d = dict(d)
+        if "hidden_size" in d and "vit_hidden_size" not in d:
+            d["vit_hidden_size"] = d["hidden_size"]
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "UniFlowConfig":
+        """Load from a config.json file or an HF model directory."""
+        import json
+        import os
+
+        if os.path.isdir(path):
+            path = os.path.join(path, "config.json")
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["compression_layers"] = list(d["compression_layers"])
+        d["num_query_per_layer"] = list(d["num_query_per_layer"])
+        return d
 
     def vit(self, num_layers=None) -> ViTConfig:
         return ViTConfig(

@@ -136,3 +136,71 @@ class TestUniFlow:
         gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(l))
                                 for l in jax.tree.leaves(g))))
         assert np.isfinite(gn) and gn > 0
+
+
+class TestUniFlowConfigParity:
+    """UniFlowConfig accepts the reference HF config surface unmodified
+    (configuration_uniflow.py:11-107, VERDICT round-1 item 8)."""
+
+    def test_vendored_config_json_loads(self):
+        import os
+
+        import deco_tpu.models.uniflow as pkg
+
+        path = os.path.join(os.path.dirname(pkg.__file__), "config.json")
+        cfg = UniFlowConfig.from_pretrained(path)
+        assert cfg.vit_hidden_size == 1024
+        assert cfg.num_hidden_layers == 24
+        assert cfg.patch_size == 14
+        assert cfg.image_size == 448
+        assert cfg.latent_ch == 32
+        assert cfg.global_blocks_depth == 6
+        assert cfg.num_decoder_layers == 12
+        # string-typed in the json ("4"), coerced like modeling_uniflow.py:729
+        assert cfg.num_sampling_steps == 4
+        assert isinstance(cfg.num_sampling_steps, int)
+        assert cfg.norm_type == "layer_norm"
+        assert cfg.qkv_bias and not cfg.qk_normalization
+
+    def test_reference_config_json_roundtrips(self):
+        """The reference's shipped config.json constructs without edits."""
+        import json
+
+        ref = "/root/reference/src/models/uniflow/config.json"
+        import os
+
+        if not os.path.exists(ref):
+            pytest.skip("reference tree unavailable")
+        with open(ref) as f:
+            d = json.load(f)
+        cfg = UniFlowConfig.from_dict(d)
+        assert cfg.num_sampling_steps == 4
+        # every architectural key in the json is represented
+        for k in ("image_size", "patch_size", "num_hidden_layers",
+                  "num_attention_heads", "intermediate_size", "latent_ch",
+                  "llm_hidden_size", "global_blocks_depth",
+                  "num_decoder_layers", "use_chal_proj", "use_disp_loss",
+                  "use_global_blocks", "use_cfg", "decoder_type"):
+            assert getattr(cfg, k) == (int(d[k]) if k == "num_sampling_steps"
+                                       else d[k]), k
+
+    def test_unused_decoder_knobs_roundtrip(self):
+        """compression_layers / num_query_per_layer (config-accepted, model-
+        unused upstream) are stored and serialized back as lists."""
+        cfg = UniFlowConfig.from_dict({
+            "compression_layers": [-1, 4], "num_query_per_layer": [64, 191],
+            "num_sampling_steps": "7",
+        })
+        assert cfg.compression_layers == (-1, 4)
+        assert cfg.num_query_per_layer == (64, 191)
+        d = cfg.to_dict()
+        assert d["compression_layers"] == [-1, 4]
+        assert d["num_query_per_layer"] == [64, 191]
+        assert cfg.num_sampling_steps == 7
+
+    def test_vision_config_unwrap(self):
+        cfg = UniFlowConfig.from_dict(
+            {"vision_config": {"hidden_size": 96, "num_hidden_layers": 2}}
+        )
+        assert cfg.vit_hidden_size == 96
+        assert cfg.num_hidden_layers == 2
