@@ -11,10 +11,12 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   VMEM with fp32 running-max/sum accumulators — logits never hit HBM.
 - Head dim is zero-padded to the 128-lane boundary once at the wrapper level
   (DeCo-XL uses head_dim 72); zero columns are exact no-ops for qk^T and pv.
-- Backward uses the saved logsumexp to recompute probabilities with plain XLA
-  einsums inside custom_vjp — exact gradients, O(N^2) flops but no O(N^2)
-  residual memory; for N <= 4k this is within a few percent of a hand-written
-  backward kernel and keeps the hot inference path fully fused.
+- Backward is a pair of Pallas kernels (dq over q blocks; dk/dv over kv
+  blocks) that recompute probabilities from the forward-saved logsumexp —
+  O(N^2) flops, but probabilities never hit HBM in either direction, which is
+  what unlocks 512px (1024-token) training batches (the old XLA bwd
+  materialized 4 fp32 (BH, N, N) tensors). ``DECO_FLASH_BWD=xla`` forces the
+  reference XLA backward for A/B and parity testing.
 
 ``flash_attention(q, k, v)`` takes (B, N, H, D) and returns (B, N, H, D);
 ``use_flash=True`` on the model layers routes through here, the default XLA
@@ -107,26 +109,197 @@ def _flash_fwd(q, k, v, scale):
     return o
 
 
+def _fwd_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                    kv_len):
+    """Forward that also writes the logsumexp row stats for the backward."""
+    q = q_ref[0]
+    bq, d = q.shape
+    num_kv = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1)
+        acc = acc * correction[:, None] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    # lse rides as (BH, 1, N): TPU blocks need (÷8|==dim, ÷128|==dim) in the
+    # last two axes, which (1, block_q) on a (BH, N) array violates
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+def _flash_fwd_lse(q, k, v, scale):
+    """Like :func:`_flash_fwd` but returns (o, lse) for the backward."""
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
+    block_q, block_k = _pick_blocks(n_q, n_kv)
+    grid = (bh, n_q // block_q)
+    kernel = functools.partial(
+        _fwd_kernel_lse, scale=scale, block_k=block_k, kv_len=n_kv
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n_q), jnp.float32),
+        ],
+    )(q, k, v)
+    return o, lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   scale, block_k, kv_len):
+    """One program: the dq of one q block, streaming KV blocks."""
+    q = q_ref[0]                       # (BQ, D)
+    do = do_ref[0]                     # (BQ, D)
+    lse = lse_ref[0, 0]                # (BQ,) fp32
+    delta = delta_ref[0, 0]            # (BQ,) fp32
+    bq, d = q.shape
+    num_kv = kv_len // block_k
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                        # (BQ, BK)
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                # (BQ, BK)
+        ds = (p * (dp - delta[:, None])).astype(k.dtype)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                    dv_ref, *, scale, block_q, q_len):
+    """One program: the dk/dv of one kv block, streaming q blocks."""
+    k = k_ref[0]                       # (BK, D)
+    v = v_ref[0]
+    bk, d = k.shape
+    num_q = q_len // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                        # (BQ, BK)
+        p = jnp.exp(s - lse[:, None])
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (BK, D)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                # (BQ, BK)
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                # (BK, D)
+        return dk_acc, dv_acc
+
+    zero = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, do, lse, delta, scale):
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
+    block_q, block_k = _pick_blocks(n_q, n_kv)
+    qkv_spec = lambda blk: pl.BlockSpec((1, blk, d), lambda b, i: (b, i, 0),
+                                        memory_space=pltpu.VMEM)
+    full = lambda n: pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    # lse/delta ride as (BH, 1, N) rows (TPU block-shape constraints)
+    row = lambda n: pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=n_kv),
+        grid=(bh, n_q // block_q),
+        in_specs=[qkv_spec(block_q), full(n_kv), full(n_kv), qkv_spec(block_q),
+                  pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=qkv_spec(block_q),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+    )(q, k, v, do, lse, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          q_len=n_q),
+        grid=(bh, n_kv // block_k),
+        in_specs=[full(n_q), qkv_spec(block_k), qkv_spec(block_k), full(n_q),
+                  row(n_q), row(n_q)],
+        out_specs=[qkv_spec(block_k), qkv_spec(block_k)],
+        out_shape=[jax.ShapeDtypeStruct((bh, n_kv, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, n_kv, d), v.dtype)],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_core(q, k, v, scale):
     return _flash_fwd(q, k, v, scale)
 
 
 def _flash_core_fwd(q, k, v, scale):
-    o = _flash_fwd(q, k, v, scale)
-    return o, (q, k, v, o)
+    o, lse = _flash_fwd_lse(q, k, v, scale)
+    return o, (q, k, v, o, lse)
 
 
-def _flash_core_bwd(scale, res, do):
-    q, k, v, o = res
+def _flash_core_bwd_xla(scale, res, do):
+    """Reference XLA backward (materializes O(N^2) probabilities; kept for
+    parity testing and DECO_FLASH_BWD=xla A/B)."""
+    q, k, v, o, lse = res
+    lse = lse[:, 0, :]  # (BH, 1, N) -> (BH, N)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     dof = do.astype(jnp.float32)
     s = jnp.einsum("bqd,bkd->bqk", qf * scale, kf)
-    # recompute softmax stats (cheaper than threading lse through an
-    # alignment-hostile (BH, N) pallas output)
-    lse = jax.nn.logsumexp(s, axis=-1)
     p = jnp.exp(s - lse[:, :, None])
     dv = jnp.einsum("bqk,bqd->bkd", p, dof)
     dp = jnp.einsum("bqd,bkd->bqk", dof, vf)
@@ -135,6 +308,22 @@ def _flash_core_bwd(scale, res, do):
     dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
     dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_core_bwd(scale, res, do):
+    import os
+
+    # default: Pallas kernels on accelerators, XLA on CPU (where Pallas only
+    # exists under interpret mode); DECO_FLASH_BWD=xla|pallas forces either.
+    impl = os.environ.get("DECO_FLASH_BWD")
+    if impl is None:
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "xla":
+        return _flash_core_bwd_xla(scale, res, do)
+    q, k, v, o, lse = res
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # (BH, 1, N) like lse
+    return _flash_bwd_pallas(q, k, v, do, lse, delta, scale)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
