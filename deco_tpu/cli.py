@@ -64,13 +64,20 @@ def main(argv: Optional[list] = None):
     # swapped-entry-point hack, SURVEY caveat 1)
     from deco_tpu.train import workloads
 
-    if workloads.is_uniflow_config(config):
-        workloads.run_uniflow(config, max_steps=known.max_steps,
-                              workdir=known.workdir or "./workdirs_uniflow")
-        return
-    if workloads.is_vae_config(config):
-        workloads.run_vae_gan(config, max_steps=known.max_steps,
-                              workdir=known.workdir or "./workdirs_vae")
+    kind = workloads.detect_workload(config)
+    if kind in ("uniflow", "vae_gan", "dcae_eval"):
+        run = {"uniflow": workloads.run_uniflow,
+               "vae_gan": workloads.run_vae_gan,
+               "dcae_eval": workloads.run_dcae_eval}[kind]
+        sub = "fit" if known.subcommand == "fit" and kind != "dcae_eval" \
+            else "validate"
+        if kind == "dcae_eval":
+            run(config, max_batches=known.max_batches,
+                workdir=known.workdir or "./workdirs_dcae")
+        else:
+            run(config, max_steps=known.max_steps,
+                workdir=known.workdir, ckpt_path=known.ckpt_path,
+                subcommand=sub, max_batches=known.max_batches)
         return
 
     from deco_tpu.train.loop import Experiment

@@ -27,7 +27,10 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     "src.models.transformer.dit_c2i_DeCo.PixNerDiT": "deco_tpu.models.dit_c2i_deco.DeCoC2I",
     "src.models.transformer.dit_c2i_baseline.FlattenDiT": "deco_tpu.models.dit_c2i_baseline.BaselineDiT",
     "src.models.transformer.dit_c2i_pixnerd.PixNerDiT": "deco_tpu.models.dit_c2i_pixnerd.PixNerdC2I",
-    "src.models.transformer.dit_t2i_DeCo.PixNerDiT": "deco_tpu.models.dit_t2i.DeCoT2I",
+    # snapshot's dit_t2i_DeCo.PixNerDiT is TWO models (SURVEY caveat 2): the
+    # config-implied t2i DeCo (txt_* args) and the mutated ReCo reconstruction
+    # class (config_path/select_layer args) — dispatch on the init args.
+    "src.models.transformer.dit_t2i_DeCo.PixNerDiT": "deco_tpu.config.registry._dit_t2i_deco_dispatch",
     "src.models.transformer.dit_t2i_pixnerd.PixNerDiT": "deco_tpu.models.dit_t2i.PixNerdT2I",
     # conditioners
     "src.models.conditioner.class_label.LabelConditioner": "deco_tpu.models.conditioners.LabelConditioner",
@@ -65,9 +68,12 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     "src.models.encoder.SigLIP": "deco_tpu.models.encoders.SigLIP",
     "src.models.encoder.SigLIPVision": "deco_tpu.models.encoders.SigLIPVision",
     "src.models.encoder_custom.DINOv2": "deco_tpu.models.encoders.DINOv2",
-    # additional models
-    "src.models.transformer.encoder_ae_sim.VAEModel": "deco_tpu.models.vae_models.VAEModel",
-    "src.models.transformer.encoder_ae.VAEModel": "deco_tpu.models.vae_models.VAEModel",
+    # additional models — the encoder_ae variants differ in stochasticity
+    # (encoder_ae has the posterior+KL, encoder_ae_sim is deterministic,
+    # SURVEY §2.8); reference init args are adapted by the factories
+    "src.models.transformer.encoder_ae_sim.VAEModel": "deco_tpu.config.registry._vae_model_sim",
+    "src.models.transformer.encoder_ae.VAEModel": "deco_tpu.config.registry._vae_model_stochastic",
+    "src.models.modules.vae_loss.VAEReconstructionLoss": "deco_tpu.config.registry._VAELossConfig",
     "src.models.modules.discriminator.NLayerDiscriminator": "deco_tpu.models.gan.discriminator.NLayerDiscriminator",
     # datasets
     "src.data.dataset.imagenet.PixImageNet": "deco_tpu.data.imagenet.PixImageNet",
@@ -99,6 +105,117 @@ VALUE_MAP: Dict[str, str] = {
     "src.diffusion.flow_matching.adam_sampling.t2isnr": "isnr",
     "src.diffusion.flow_matching.adam_sampling.nop": "nop",
 }
+
+
+def _dit_t2i_deco_dispatch(**kw):
+    """Resolve the snapshot's overloaded ``dit_t2i_DeCo.PixNerDiT``.
+
+    ``config_path``/``select_layer`` args -> the ReCo reconstruction model
+    (reference ``dit_t2i_DeCo.py:469-633``); ``txt_embed_dim`` etc. -> the
+    config-implied t2i DeCo (``configs_t2i/sft_res512.yaml:44-55``)."""
+    if "config_path" in kw or "select_layer" in kw:
+        import json
+        import os
+
+        from deco_tpu.models.reco import ReCoModel
+        from deco_tpu.models.uniflow.vit import ViTConfig
+
+        config_path = kw.pop("config_path", None)
+        # the reference overwrites patch_size with vision_config.patch_size
+        # (dit_t2i_DeCo.py:504); the init arg is dead
+        kw.pop("patch_size", None)
+        vit_kw = dict(qk_normalization=True, norm_type="rms_norm",
+                      initializer_factor=0.1)
+        if config_path and os.path.isdir(str(config_path)):
+            try:  # weights-gated InternVL dir: read dims when present
+                with open(os.path.join(config_path, "config.json")) as f:
+                    vc = json.load(f).get("vision_config", {})
+                for src, dst in (("hidden_size", "hidden_size"),
+                                 ("num_hidden_layers", "num_layers"),
+                                 ("num_attention_heads", "num_heads"),
+                                 ("intermediate_size", "intermediate_size"),
+                                 ("patch_size", "patch_size"),
+                                 ("image_size", "image_size"),
+                                 ("qkv_bias", "qkv_bias"),
+                                 ("qk_normalization", "qk_normalization"),
+                                 ("norm_type", "norm_type")):
+                    if src in vc:
+                        vit_kw[dst] = vc[src]
+            except Exception:
+                pass
+        known = set(ReCoModel.__dataclass_fields__)
+        return ReCoModel(vit=ViTConfig(**vit_kw),
+                         **{k: v for k, v in kw.items() if k in known})
+    from deco_tpu.models.dit_t2i import DeCoT2I
+
+    return DeCoT2I(**kw)
+
+
+def _make_vae_model(stochastic: bool, encoder_config_path=None,
+                    decoder_weight_path=None, decoder_subfolder=None,
+                    select_layer=-1, latent_channel=32,
+                    load_pretrained_encoder=False, stage=None, **kw):
+    """Reference encoder_ae[_sim].VAEModel init surface -> deco_tpu VAEModel.
+
+    ``encoder_config_path``/``decoder_weight_path`` are pretrained-tower
+    locations (weights-gated: convert via ``python -m deco_tpu.convert`` and
+    resume from the checkpoint); ``select_layer``/``stage`` are accepted for
+    config parity (the generation tap is gen_select_layer=18, SURVEY §2.8)."""
+    import warnings
+
+    from deco_tpu.models.vae_models import VAEModel
+
+    if load_pretrained_encoder and (encoder_config_path or decoder_weight_path):
+        warnings.warn(
+            "pretrained encoder/decoder towers are weights-gated; "
+            "convert with python -m deco_tpu.convert and pass --ckpt_path"
+        )
+    return VAEModel(latent_channel=latent_channel, stochastic=stochastic)
+
+
+def _vae_model_stochastic(**kw):
+    return _make_vae_model(True, **kw)
+
+
+def _vae_model_sim(**kw):
+    return _make_vae_model(False, **kw)
+
+
+class _VAELossConfig:
+    """Reference VAEReconstructionLoss init surface -> VAEGANLoss + the
+    perceptual spec string (vae_loss.py:118 arg names)."""
+
+    def __init__(self, discriminator_start: int = 0,
+                 discriminator_factor: float = 1.0,
+                 discriminator_weight: float = 0.1,
+                 lecam_regularization_weight: float = 0.0,
+                 perceptual_loss: str = None, perceptual_weight: float = 1.1,
+                 reconstruction_loss: str = "l2",
+                 reconstruction_weight: float = 1.0,
+                 kl_weight: float = 0.0, logvar_init: float = 0.0,
+                 distillation_weight: float = 0.0,
+                 distillation_loss_type: str = "mse",
+                 teacher_model_path: str = None, select_layer: int = -1,
+                 downsample_ratio: float = 0.5,
+                 use_rotation_aug: bool = False, **kw):
+        from deco_tpu.models.gan.vae_loss import VAEGANLoss
+
+        self.loss_cfg = VAEGANLoss(
+            reconstruction_loss=reconstruction_loss,
+            reconstruction_weight=reconstruction_weight,
+            perceptual_weight=perceptual_weight,
+            discriminator_weight=discriminator_weight,
+            discriminator_factor=discriminator_factor,
+            discriminator_iter_start=discriminator_start,
+            lecam_regularization_weight=lecam_regularization_weight,
+            distillation_weight=distillation_weight,
+            distillation_loss_type=distillation_loss_type,
+            kl_weight=kl_weight,
+            logvar_init=logvar_init,
+        )
+        self.perceptual_spec = perceptual_loss
+        self.teacher_model_path = teacher_model_path
+        self.use_rotation_aug = use_rotation_aug
 
 
 class _SimpleEMAConfig:

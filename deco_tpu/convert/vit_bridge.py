@@ -163,3 +163,90 @@ def export_internvl_folder(vision_params: dict, out_dir: str,
         for fn in os.listdir(tokenizer_src):
             if "token" in fn or fn.endswith(".model"):
                 shutil.copy(os.path.join(tokenizer_src, fn), out_dir)
+
+
+def load_teacher_feature_fn(model_dir: str, dtype=None):
+    """Frozen InternVL teacher feature extractor for UniFlow distillation.
+
+    TPU-native equivalent of the reference's LightweightTeacherModel
+    (``src/lightning_uniflow_model.py:523-564``): loads the vision tower +
+    mlp1 from an InternVL HF folder, returns a jitted
+    ``fn(x_minus1_1) -> {"vit_embeds", "vit_embeds_mlp"}`` where vit_embeds
+    is the pixel-shuffle(x0.5)-downsampled last hidden state and
+    vit_embeds_mlp its mlp1 projection. Weights-gated: requires the HF folder
+    on disk (zero-egress environments fall back to self-distillation).
+    """
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.models.uniflow.vit import ViTConfig, VisionModel
+    from deco_tpu.models.uniflow.components import resample_tokens
+    from deco_tpu.models.uniflow.model import IMAGENET_MEAN, IMAGENET_STD
+
+    dtype = dtype or jnp.bfloat16
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    vc = cfg.get("vision_config", cfg)
+    vit_cfg = ViTConfig(
+        hidden_size=vc.get("hidden_size", 1024),
+        num_layers=vc.get("num_hidden_layers", 24),
+        num_heads=vc.get("num_attention_heads", 16),
+        intermediate_size=vc.get("intermediate_size", 4096),
+        patch_size=vc.get("patch_size", 14),
+        image_size=vc.get("image_size", 448),
+        qkv_bias=vc.get("qkv_bias", True),
+        qk_normalization=vc.get("qk_normalization", False),
+        norm_type=vc.get("norm_type", "layer_norm"),
+    )
+
+    # host-side torch state dict load (bin or safetensors, possibly sharded)
+    from deco_tpu.convert.torch_to_flax import load_torch_ckpt
+
+    sd = {}
+    files = sorted(
+        f for f in os.listdir(model_dir)
+        if f.endswith((".bin", ".safetensors", ".pt", ".ckpt"))
+        and "training_args" not in f
+    )
+    if not files:
+        raise FileNotFoundError(f"no checkpoint files in {model_dir}")
+    for f in files:
+        sd.update(load_torch_ckpt(os.path.join(model_dir, f)))
+    vis = {k[len("vision_model."):]: v for k, v in sd.items()
+           if k.startswith("vision_model.")}
+    if not vis:  # bare InternVisionModel export
+        vis = sd
+    vit_params = vit_params_from_torch(vis, vit_cfg.num_layers,
+                                       norm_type=vit_cfg.norm_type)
+    mlp1 = {k[len("mlp1."):]: np.asarray(v) for k, v in sd.items()
+            if k.startswith("mlp1.")}
+    model = VisionModel(vit_cfg, dtype=dtype)
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def mlp1_apply(x):
+        # HF mlp1 = Sequential(LayerNorm, Linear, GELU, Linear): keys 0/1/3
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        h = (xf - mu) / jnp.sqrt(var + 1e-5)
+        h = h * jnp.asarray(mlp1["0.weight"]) + jnp.asarray(mlp1["0.bias"])
+        h = h.astype(x.dtype)
+        h = h @ jnp.asarray(mlp1["1.weight"]).T + jnp.asarray(mlp1["1.bias"])
+        h = jax.nn.gelu(h)
+        return h @ jnp.asarray(mlp1["3.weight"]).T + jnp.asarray(mlp1["3.bias"])
+
+    @jax.jit
+    def feature_fn(x):
+        # x in [-1, 1] -> imagenet-normalized (the model's siglip _normalize)
+        px = ((x * 0.5 + 0.5) - mean) / std
+        hidden, _ = model.apply({"params": vit_params}, px.astype(dtype))
+        embeds = hidden[:, 1:]
+        embeds = resample_tokens(embeds, 0.5)
+        return {"vit_embeds": embeds, "vit_embeds_mlp": mlp1_apply(embeds)}
+
+    return feature_fn

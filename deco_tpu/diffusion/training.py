@@ -331,6 +331,12 @@ class JiTTrainer(BaseTrainer):
         lognorm_t: bool = True,
         timeshift: float = 1.0,
         lognorm_mix_p: float = 0.9,
+        encoder=None,
+        align_layer: int = 8,
+        proj_denoiser_dim: int = 256,
+        proj_hidden_dim: int = 256,
+        proj_encoder_dim: int = 256,
+        feat_loss_weight: float = 0.5,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -339,6 +345,11 @@ class JiTTrainer(BaseTrainer):
         self.lognorm_t = lognorm_t
         self.timeshift = timeshift
         self.lognorm_mix_p = lognorm_mix_p
+        # REPA args accepted for config parity with the reference's
+        # training_repa_JiT.REPATrainer (whose REPA branch is likewise
+        # inactive in the shipped Baseline_DiT_JiT.yaml run)
+        self.encoder = encoder
+        self.align_layer = align_layer
 
     def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
         rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)

@@ -35,6 +35,26 @@ class BaseConditioner:
         return condition, uncondition
 
 
+class ImageConditioner(BaseConditioner):
+    """Self-reconstruction conditioning: the condition IS the input image.
+
+    Used by the ReCo workloads (reference ``configs_c2i/ReCo_large*.yaml``,
+    ``configs_flow/internvit_2b_*.yaml``), whose configs carry no conditioner
+    node — the snapshot's mutated LightningModel feeds the raw image back as
+    the denoiser condition (``src/models/transformer/dit_t2i_DeCo.py:469``
+    takes ``cond_image``). The uncondition is a zero image; the shipped ReCo
+    samplers run guidance 1.0 so the unconditional branch is never evaluated
+    (cfg==1 samplers are conditional-only in deco_tpu)."""
+
+    wants_images = True
+
+    def _impl_condition(self, y, metadata):
+        return jnp.asarray(y, jnp.float32)
+
+    def _impl_uncondition(self, y, metadata):
+        return jnp.zeros_like(jnp.asarray(y, jnp.float32))
+
+
 class LabelConditioner(BaseConditioner):
     """Class-id conditioner; null class = num_classes (reference class_label.py:4-13)."""
 

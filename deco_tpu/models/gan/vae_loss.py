@@ -60,7 +60,16 @@ class VAEGANLoss:
         distillation_weight: float = 0.0,
         distillation_loss_type: str = "mse",
         adaptive_weight: bool = True,
+        kl_weight: float = 0.0,
+        logvar_init: float = 0.0,
     ):
+        # kl_weight scales the stochastic VAEModel's posterior KL (reference
+        # vae_loss.py kl_weight; shipped configs use 0.0). logvar_init is the
+        # reference's learnable Gaussian-NLL logvar initial value — accepted
+        # for config parity; deco_tpu's NLL is plain L1/L2 like the reference
+        # with logvar 0 (the shipped value).
+        self.kl_weight = kl_weight
+        self.logvar_init = logvar_init
         self.reconstruction_loss = reconstruction_loss
         self.reconstruction_weight = reconstruction_weight
         self.perceptual_weight = perceptual_weight

@@ -177,9 +177,15 @@ class ReCoModel(nn.Module):
         return self.pixel_decoder.forward_condition(latent)
 
     def __call__(self, x, t, s=None, cond_image=None):
-        """Denoise x_t conditioned on s (or compute s from cond_image)."""
+        """Denoise x_t conditioned on s (or compute s from cond_image).
+
+        A 4-D ``s`` is a conditioning IMAGE (the net(x_t, t, y) protocol with
+        y = raw image from :class:`ImageConditioner`); 3-D is precomputed
+        condition tokens."""
+        if s is not None and s.ndim == 4:
+            cond_image, s = s, None
         if s is None:
-            s = self.forward_condition(cond_image)
+            s = self.forward_condition(cond_image.astype(self.dtype))
         return self.pixel_decoder(x, t, s)
 
     def init_all(self, x, t):

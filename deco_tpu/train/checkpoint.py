@@ -74,5 +74,25 @@ class CheckpointManager:
         restored = self.restore(state, step)
         return restored.ema_params if use_ema else restored.params
 
+    # ---- generic pytree payloads (non-TrainState workloads: VAE-GAN) ----
+
+    def maybe_save_payload(self, step: int, payload: dict,
+                           force: bool = False) -> bool:
+        """Step-interval save of an arbitrary pytree payload (the VAE-GAN
+        two-optimizer state doesn't fit the TrainState layout)."""
+        step = int(step)
+        if not force and (self.every_n_steps <= 0 or step % self.every_n_steps != 0):
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        return True
+
+    def restore_payload(self, template: dict, step: Optional[int] = None) -> dict:
+        """Restore an arbitrary payload into the shape/dtype of ``template``."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
     def close(self):
         self._mgr.close()

@@ -196,6 +196,65 @@ class ComputeMetricsHook:
         return out
 
 
+class ImageLogger:
+    """Predict/validate-time image logging (reference W&B image logging,
+    ``src/lightning_uniflow_model.py:447-473`` and trajectory GIFs
+    ``app.py:115-134`` of hhhhzp/DeCo): side-by-side original|reconstruction
+    panels and denoising-trajectory strips written as PNGs under the workdir
+    and mirrored to TensorBoard when a writer is available."""
+
+    def __init__(self, workdir: str, subdir: str = "images",
+                 max_images: int = 16, tb_writer=None):
+        self.root = os.path.join(workdir, subdir)
+        os.makedirs(self.root, exist_ok=True)
+        self.max_images = max_images
+        self._tb = tb_writer
+        self._count = 0
+
+    def _write(self, panel_uint8: np.ndarray, name: str, step: int):
+        from PIL import Image
+
+        Image.fromarray(panel_uint8).save(
+            os.path.join(self.root, f"{name}_step{step}_{self._count:03d}.png")
+        )
+        if self._tb is not None:
+            self._tb.add_image(
+                f"images/{name}", panel_uint8, step, dataformats="HWC"
+            )
+
+    def log_side_by_side(self, step: int, originals_uint8: np.ndarray,
+                         recons_uint8: np.ndarray, name: str = "reconstruction"):
+        """(B,H,W,3) uint8 pairs -> horizontal original|recon panels."""
+        n = min(len(originals_uint8), self.max_images - self._count)
+        for i in range(max(n, 0)):
+            panel = np.concatenate(
+                [originals_uint8[i], recons_uint8[i]], axis=1
+            )
+            self._write(panel, name, step)
+            self._count += 1
+
+    def log_images(self, step: int, images_uint8: np.ndarray,
+                   name: str = "samples"):
+        """(B,H,W,3) uint8 generated samples, one panel each (the c2i/t2i
+        predict path has no 'original' to pair with)."""
+        n = min(len(images_uint8), self.max_images - self._count)
+        for i in range(max(n, 0)):
+            self._write(images_uint8[i], name, step)
+            self._count += 1
+
+    def log_trajectory(self, step: int, traj_uint8: np.ndarray,
+                       name: str = "trajectory"):
+        """(T,H,W,3) uint8 denoising trajectory -> one horizontal strip."""
+        if self._count >= self.max_images:
+            return
+        strip = np.concatenate(list(traj_uint8), axis=1)
+        self._write(strip, name, step)
+        self._count += 1
+
+    def reset(self):
+        self._count = 0
+
+
 class ScalarLogger:
     """JSONL + optional TensorBoard step-scalar logger."""
 

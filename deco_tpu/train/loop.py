@@ -48,7 +48,16 @@ class Experiment:
         self.vae = registry.instantiate(model_cfg["vae"])
         self.denoiser_cfg = model_cfg["denoiser"]
         self.model = registry.instantiate(self.denoiser_cfg)
-        self.conditioner = registry.instantiate(model_cfg["conditioner"])
+        # ReCo reconstruction configs carry no conditioner node: the condition
+        # is the input image itself (configs_c2i/ReCo_large*.yaml,
+        # configs_flow/internvit_2b_*.yaml)
+        if "conditioner" in model_cfg:
+            self.conditioner = registry.instantiate(model_cfg["conditioner"])
+        else:
+            from deco_tpu.models.conditioners import ImageConditioner
+
+            self.conditioner = ImageConditioner()
+        self._cond_on_images = getattr(self.conditioner, "wants_images", False)
         self.trainer = registry.instantiate(model_cfg["diffusion_trainer"])
         self.sampler = registry.instantiate(model_cfg["diffusion_sampler"])
         # REPA needs the model's feature tap wired to the trainer's align layer
@@ -117,8 +126,16 @@ class Experiment:
         else:  # streaming dataset (PixWebDataset): peek the first sample
             x, y, _ = next(iter(dataset))
         x = jnp.zeros((batch_size,) + np.asarray(x).shape, jnp.float32)
-        cond, uncond = self.conditioner([y] * batch_size)
+        if self._cond_on_images:
+            cond, uncond = self.conditioner(x)
+        else:
+            cond, uncond = self.conditioner([y] * batch_size)
         return x, cond, uncond
+
+    def _condition(self, bx, by, bmeta):
+        if self._cond_on_images:
+            return self.conditioner(np.asarray(bx), bmeta)
+        return self.conditioner(by, bmeta)
 
     def init_state(self, sample_x, sample_cond) -> TrainState:
         t = jnp.zeros((sample_x.shape[0],), jnp.float32)
@@ -131,9 +148,13 @@ class Experiment:
             params = {"model": params, "trainer": trainer_params}
         tx = self.opt_cfg.build()
         state = TrainState.create(params, tx)
+        # place the FULL state (incl. opt_state): a state leaf whose sharding
+        # differs from the donated step's output forces a silent recompile on
+        # the second step (measured 140s for the uniflow graph on CPU)
         return state.replace(
             params=mesh_lib.shard_params(self.mesh, state.params),
             ema_params=mesh_lib.shard_params(self.mesh, state.ema_params),
+            opt_state=mesh_lib.shard_params(self.mesh, state.opt_state),
         )
 
     # ---- fit ----
@@ -182,7 +203,7 @@ class Experiment:
                     step = int(state.step)
                     if step >= limit:
                         break
-                    cond, uncond = self.conditioner(by, bmeta)
+                    cond, uncond = self._condition(bx, by, bmeta)
                     batch = mesh_lib.shard_batch(self.mesh, dict(
                         x=jnp.asarray(bx), condition=cond, uncondition=uncond,
                     ))
@@ -234,6 +255,11 @@ class Experiment:
 
         hook = SaveImagesHook(**self.save_images_cfg)
         hook.on_predict_start(self.workdir, int(state.step))
+        # predict-time image logging (reference wandb image logging,
+        # lightning_uniflow_model.py:460-471): sample panels to PNG + TB
+        from deco_tpu.train.hooks import ImageLogger
+
+        imlog = ImageLogger(self.workdir)
         metrics_hook = None
         if getattr(self, "metrics_hook_cfg", None) is not None:
             from deco_tpu.train.hooks import ComputeMetricsHook
@@ -244,13 +270,28 @@ class Experiment:
             for bi, (bx, by, bmeta) in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
                     break
-                cond, uncond = self.conditioner(by, bmeta)
-                noise = mesh_lib.shard_batch(self.mesh, jnp.asarray(bx))
+                cond, uncond = self._condition(bx, by, bmeta)
+                if self._cond_on_images:
+                    # reconstruction predict: the loader yields images (the
+                    # condition); the sampler starts from fresh noise
+                    noise = jax.random.normal(
+                        jax.random.fold_in(rng, 1000 + bi),
+                        jnp.asarray(bx).shape, jnp.float32)
+                else:
+                    noise = jnp.asarray(bx)
+                noise = mesh_lib.shard_batch(self.mesh, noise)
                 imgs = sample(params, noise, cond, uncond,
                               jax.random.fold_in(rng, bi))
                 imgs = self.vae.decode(imgs)
                 u8 = np.asarray(jax.device_get(fp_to_uint8(imgs)))
                 hook.on_predict_batch_end(u8, bmeta)
+                if self._cond_on_images:
+                    # reconstruction: original|generated side-by-side
+                    orig = np.asarray(jax.device_get(
+                        fp_to_uint8(jnp.asarray(bx))))
+                    imlog.log_side_by_side(int(state.step), orig, u8)
+                elif bi == 0:
+                    imlog.log_images(int(state.step), u8)
                 if metrics_hook is not None and "raw_image" in bmeta:
                     raw = np.asarray(bmeta["raw_image"], np.float32)
                     if raw.ndim == 4 and raw.shape[1] in (1, 3):
@@ -258,6 +299,11 @@ class Experiment:
                     metrics_hook.on_batch_end(
                         u8, np.clip(raw * 255.0, 0, 255).astype(np.uint8)
                     )
+                elif metrics_hook is not None and self._cond_on_images:
+                    # reconstruction eval: the original IS the loader image
+                    metrics_hook.on_batch_end(
+                        u8, np.asarray(jax.device_get(
+                            fp_to_uint8(jnp.asarray(bx)))))
         if metrics_hook is not None and metrics_hook._n_batches:
             scores = metrics_hook.on_epoch_end()
             if jax.process_index() == 0:

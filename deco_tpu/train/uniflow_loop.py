@@ -37,6 +37,8 @@ class UniFlowTrainConfig:
     total_steps: int = 200000
     min_lr: float = 1e-5
     weight_decay: float = 0.0
+    betas: tuple = (0.9, 0.95)
+    use_ema: bool = True
     ema_decay: float = 0.9999
     frozen_encoder: bool = False
     frozen_mlp: bool = False
@@ -55,9 +57,12 @@ class UniFlowExperiment:
         self.lpips_fn = lpips_fn
 
     def init_state(self, rng, sample_x) -> TrainState:
-        params = self.model.init(
-            {"params": rng}, sample_x, rng, method=self.model.forward_loss
-        )
+        # jitted + cached: one compile instead of thousands of eager
+        # dispatches, and repeat inits (resume templates) are free
+        if not hasattr(self, "_init_fn"):
+            self._init_fn = jax.jit(lambda r, x: self.model.init(
+                {"params": r}, x, r, method=self.model.forward_loss))
+        params = self._init_fn(rng, sample_x)
         sched = lambda lr: cosine_with_min_lr(
             lr, self.cfg.warmup_steps, self.cfg.total_steps, self.cfg.min_lr
         )
@@ -71,15 +76,21 @@ class UniFlowExperiment:
             group_prefixes=("vision", "shallow", "mlp1"),
             group_lr=self.cfg.vision_lr,
             weight_decay=self.cfg.weight_decay,
+            betas=tuple(self.cfg.betas),
             schedule_fn=sched,
         )
         if frozen:
             from deco_tpu.train.freeze import with_frozen
 
             tx = with_frozen(tx, params, frozen)
-        return TrainState.create(params, tx)
+        return TrainState.create(params, tx, ema=self.cfg.use_ema)
 
     def make_train_step(self, donate: bool = True):
+        # cached: repeat fits (resume) reuse the compiled step
+        key = ("_step_fn", donate)
+        cached = getattr(self, "_step_cache", {}).get(key)
+        if cached is not None:
+            return cached
         cfg = self.cfg
 
         def loss_fn(params, x, rng, teacher_feat):
@@ -101,19 +112,26 @@ class UniFlowExperiment:
             updates, opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
             params = optax.apply_updates(state.params, updates)
-            ema = ema_update(state.ema_params, params, cfg.ema_decay)
+            ema = (ema_update(state.ema_params, params, cfg.ema_decay)
+                   if state.ema_params is not None else None)
             metrics = dict(metrics, grad_norm=gnorm)
             return state.replace(
                 step=state.step + 1, params=params, ema_params=ema,
                 opt_state=opt_state,
             ), metrics
 
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        fn = jax.jit(step, donate_argnums=(0,) if donate else ())
+        if not hasattr(self, "_step_cache"):
+            self._step_cache = {}
+        self._step_cache[key] = fn
+        return fn
 
     def reconstruct(self, params, x, rng, mode: str = "pixel"):
-        """Pad H,W to x28 multiples, reconstruct, unpad (reference :405-474)."""
+        """Pad H,W to x(2*patch) multiples — x28 for patch 14 — reconstruct,
+        unpad (reference :405-474; the x2 covers the latent down/upsample)."""
         b, h, w, c = x.shape
-        ph, pw = (-h) % 28, (-w) % 28
+        mult = 2 * self.model.cfg.patch_size
+        ph, pw = (-h) % mult, (-w) % mult
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         out = self.model.apply(params, x, rng, mode=mode)

@@ -34,11 +34,16 @@ class VAEGANTrainState:
     gen_opt_state: Any
     disc_opt_state: Any
     lecam: LeCamState
-    gen_tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    disc_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    gen_ema_params: Any = None
+    gen_tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                        default=None)
+    disc_tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                         default=None)
 
     @classmethod
-    def create(cls, gen_params, disc_params, gen_tx, disc_tx):
+    def create(cls, gen_params, disc_params, gen_tx, disc_tx, ema: bool = False):
+        import jax as _jax
+
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
@@ -46,6 +51,11 @@ class VAEGANTrainState:
             gen_opt_state=gen_tx.init(gen_params),
             disc_opt_state=disc_tx.init(disc_params),
             lecam=LeCamState.create(),
+            # jnp.array COPIES (jnp.asarray would alias fp32 leaves and the
+            # donated step would then donate the same buffer twice)
+            gen_ema_params=(_jax.tree.map(
+                lambda x: jnp.array(x, jnp.float32), gen_params)
+                if ema else None),
             gen_tx=gen_tx,
             disc_tx=disc_tx,
         )
@@ -59,6 +69,7 @@ def make_vae_gan_step(
     perceptual_fn: Optional[Callable] = None,
     teacher_fn: Optional[Callable] = None,
     grad_clip: float = 1.0,
+    ema_decay: float = 0.9999,
     donate: bool = True,
 ):
     """Build the jitted G+D step.
@@ -92,6 +103,9 @@ def make_vae_gan_step(
             if perceptual_fn is not None:
                 perc = perceptual_fn(inputs01, recon01).mean()
             nll = rec + loss_cfg.perceptual_weight * perc
+            kl = extra.get("kl", jnp.float32(0.0))
+            if getattr(loss_cfg, "kl_weight", 0.0) > 0:
+                nll = nll + loss_cfg.kl_weight * kl
             g_loss = -jnp.mean(disc_apply(state.disc_params, recon01))
             distill = jnp.float32(0.0)
             cos_l = jnp.float32(0.0)
@@ -107,7 +121,8 @@ def make_vae_gan_step(
                     distill = (cos_l + mse_l) * loss_cfg.distillation_weight
                 else:
                     distill = mse_l * loss_cfg.distillation_weight
-            aux = dict(recon=recon, rec=rec, perc=perc, cos=cos_l, mse=mse_l)
+            aux = dict(recon=recon, rec=rec, perc=perc, cos=cos_l, mse=mse_l,
+                       kl=kl)
             return (nll, g_loss, distill), aux
 
         (nll, g_loss, distill), pullback, aux = jax.vjp(
@@ -143,6 +158,14 @@ def make_vae_gan_step(
             grads, state.gen_opt_state, state.gen_params
         )
         gen_params = optax.apply_updates(state.gen_params, updates)
+        # generator EMA (reference ema_tracker on the vae model,
+        # configs/vae_training.yaml:73-77) — fused tree_map, no side stream
+        gen_ema = state.gen_ema_params
+        if gen_ema is not None:
+            gen_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1 - ema_decay),
+                gen_ema, gen_params,
+            )
 
         # ---------------- discriminator ----------------
         recon = jax.lax.stop_gradient(aux["recon"])
@@ -189,6 +212,7 @@ def make_vae_gan_step(
             gan_loss=g_loss,
             d_weight=d_weight,
             distillation_loss=distill,
+            kl_loss=aux["kl"],
             discriminator_loss=d_loss,
             logits_real=real_mean,
             logits_fake=fake_mean,
@@ -203,6 +227,7 @@ def make_vae_gan_step(
             gen_opt_state=gen_opt_state,
             disc_opt_state=disc_opt_state,
             lecam=lecam_state,
+            gen_ema_params=gen_ema,
         )
         return new_state, metrics
 

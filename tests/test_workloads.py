@@ -1,4 +1,9 @@
-"""Config-driven UniFlow / VAE-GAN workload routing (tiny configs, 2 steps)."""
+"""Config-driven UniFlow / VAE-GAN workload routing and first-class run
+features: reference-schema parsing, mesh sharding, checkpoint/resume,
+on-exception save, and the validate path (VERDICT round-1 items 3/4/9)."""
+
+import json
+import os
 
 import numpy as np
 import pytest
@@ -19,13 +24,46 @@ def img_root(tmp_path_factory):
     return str(root)
 
 
-def test_config_detection():
+@pytest.fixture(scope="module")
+def tiny_uniflow_json(tmp_path_factory):
+    """A tiny HF-style uniflow config.json (the reference config_path surface)."""
+    d = tmp_path_factory.mktemp("cfg")
+    cfg = dict(
+        hidden_size=64, vit_hidden_size=64, llm_hidden_size=24,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+        patch_size=4, image_size=32, latent_ch=8, global_blocks_depth=1,
+        num_decoder_layers=1, num_sampling_steps="2", norm_type="layer_norm",
+        qkv_bias=True, qk_normalization=False, model_type="uniflow",
+    )
+    path = str(d / "config.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def test_workload_detection():
+    assert workloads.detect_workload(
+        {"model": {"vit_hidden_size": 64}}) == "uniflow"
+    # reference LightningUniFlowModel surface
+    assert workloads.detect_workload(
+        {"model": {"config_path": "src/models/uniflow/config.json"}}
+    ) == "uniflow"
+    assert workloads.detect_workload({"model": {"denoiser": {}}}) == "diffusion"
+    assert workloads.detect_workload(
+        {"discriminator": {}, "loss": {}, "model": {}}) == "vae_gan"
+    # reference configs/vae_training.yaml surface
+    assert workloads.detect_workload(
+        {"model": {"vae_model": {}, "loss_module": {}}}) == "vae_gan"
+    # reference configs_flow/dcae_decoder_eval.yaml surface
+    assert workloads.detect_workload(
+        {"model": {"vae_weight_path": "x", "pretrained_model_path": "y"}}
+    ) == "dcae_eval"
     assert workloads.is_uniflow_config({"model": {"vit_hidden_size": 64}})
-    assert not workloads.is_uniflow_config({"model": {"denoiser": {}}})
-    assert workloads.is_vae_config({"discriminator": {}, "loss": {}})
+    assert workloads.is_vae_config({"discriminator": {}, "loss": {},
+                                    "model": {}})
 
 
-def test_uniflow_workload(img_root, tmp_path):
+def test_uniflow_workload_flat_schema(img_root, tmp_path):
     config = {
         "model": dict(
             vit_hidden_size=64, llm_hidden_size=24, num_hidden_layers=2,
@@ -35,13 +73,110 @@ def test_uniflow_workload(img_root, tmp_path):
         ),
         "train": dict(warmup_steps=1, total_steps=4),
         "data": dict(train_root=img_root, resolution=32, batch_size=2),
+        "mesh": {"data": 1},
     }
     state = workloads.run_uniflow(config, max_steps=2,
                                   workdir=str(tmp_path / "uf"))
     assert int(state.step) == 2
 
 
-def test_vae_gan_workload(img_root, tmp_path):
+def _reference_uniflow_config(img_root, config_json, **model_overrides):
+    model = dict(
+        config_path=config_json,
+        use_ema=True,
+        ema_tracker={"class_path": "src.callbacks.simple_ema.SimpleEMA",
+                     "init_args": {"decay": 0.999}},
+        optimizer={"class_path": "torch.optim.AdamW",
+                   "init_args": {"lr": 2e-4, "weight_decay": 0.0,
+                                 "betas": [0.9, 0.95]}},
+        eval_original_model=True,
+        pretrain_model_path=None,
+        frozen_encoder=False,
+        frozen_mlp=False,
+    )
+    model.update(model_overrides)
+    return {
+        "tags": {"exp": "tiny_uniflow"},
+        "trainer": {
+            "max_steps": 3,
+            "gradient_clip_val": 1.0,
+            "log_every_n_steps": 1,
+            "callbacks": [
+                {"class_path": "src.callbacks.model_checkpoint.CheckpointHook",
+                 "init_args": {"every_n_train_steps": 2}},
+                {"class_path": "src.callbacks.compute_metrics.ComputeMetricsHook",
+                 "init_args": {"compute_fid": False}},
+            ],
+        },
+        "model": model,
+        "data": {
+            "train_dataset": {
+                "class_path": "deco_tpu.data.imagenet.PixImageNet",
+                "init_args": {"root": img_root, "resolution": 32},
+            },
+            "eval_dataset": {
+                "class_path": "deco_tpu.data.imagenet.PixImageNet",
+                "init_args": {"root": img_root, "resolution": 32},
+            },
+            "resolution": 32,
+            "train_batch_size": 1,
+            "pred_batch_size": 1,
+        },
+        # 1-device mesh: CPU SPMD partitioning of the uniflow graph is ~5x
+        # slower to compile; the sharded path is covered by the Experiment
+        # mesh tests and dryrun_multichip
+        "mesh": {"data": 1},
+    }
+
+
+class TestUniFlowReferenceSchema:
+    def test_fit_checkpoint_resume_validate(self, img_root, tiny_uniflow_json,
+                                            tmp_path):
+        """One run object end-to-end: fit -> step-interval checkpoint ->
+        resume -> validate with PSNR/SSIM + side-by-side image logging
+        (compiles are shared across the phases)."""
+        config = _reference_uniflow_config(img_root, tiny_uniflow_json)
+        wd = str(tmp_path / "uf_ref")
+        run = workloads.UniFlowRun(config, workdir=wd)
+        state = run.fit(max_steps=3)
+        assert int(state.step) == 3
+        assert state.ema_params is not None  # use_ema: true
+        from deco_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_dir = os.path.join(wd, "checkpoints")
+        assert CheckpointManager(ckpt_dir, 0).latest_step() == 3
+        # resume: continues from step 3 instead of restarting (jit cache hits:
+        # same experiment object)
+        state2 = run.fit(max_steps=5)
+        assert int(state2.step) == 5
+        assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+        # validate on the trained state
+        scores = run.validate(state=state2, max_batches=1)
+        assert "metrics/psnr" in scores and "metrics/ssim" in scores
+        # side-by-side original|reconstruction panels (VERDICT item 9)
+        imgs = os.listdir(os.path.join(wd, "images"))
+        assert any(f.startswith("reconstruction") for f in imgs)
+
+    def test_train_semantic_ae_drops_pixel_branch(self, img_root,
+                                                  tiny_uniflow_json, tmp_path):
+        config = _reference_uniflow_config(
+            img_root, tiny_uniflow_json, train_semantic_ae=True, use_ema=False)
+        run = workloads.UniFlowRun(config, workdir=str(tmp_path / "uf_sem"))
+        assert not run.model_cfg.enable_pixel_branch
+        assert run.model_cfg.enable_semantic_branch
+        assert not run.train_cfg.use_ema
+
+    def test_frozen_defaults_match_reference(self, img_root,
+                                             tiny_uniflow_json, tmp_path):
+        """Reference class defaults: frozen_encoder/mlp True when unset
+        (lightning_uniflow_model.py:62-63)."""
+        config = _reference_uniflow_config(img_root, tiny_uniflow_json)
+        del config["model"]["frozen_encoder"], config["model"]["frozen_mlp"]
+        run = workloads.UniFlowRun(config, workdir=str(tmp_path / "uf_frz"))
+        assert run.train_cfg.frozen_encoder and run.train_cfg.frozen_mlp
+
+
+def test_vae_gan_workload_flat_schema(img_root, tmp_path):
     config = {
         "model": dict(
             vit=dict(hidden_size=32, num_layers=3, num_heads=4,
@@ -60,7 +195,125 @@ def test_vae_gan_workload(img_root, tmp_path):
                      lecam_regularization_weight=0.001),
         "optimizer": dict(gen_lr=1e-4, disc_lr=1e-4),
         "data": dict(train_root=img_root, resolution=28, batch_size=2),
+        "mesh": {"data": 1},
     }
     state = workloads.run_vae_gan(config, max_steps=2,
                                   workdir=str(tmp_path / "vae"))
     assert int(state.step) == 2
+
+
+class TestVAEGANReferenceSchema:
+    """configs/vae_training.yaml surface (vae_model/loss_module nodes)."""
+
+    def _config(self, img_root):
+        return {
+            "tags": {"exp": "tiny_vae"},
+            "trainer": {
+                "max_steps": 2,
+                "log_every_n_steps": 1,
+                "callbacks": [
+                    {"class_path":
+                         "src.callbacks.model_checkpoint.CheckpointHook",
+                     "init_args": {"every_n_train_steps": 2}},
+                    {"class_path":
+                         "src.callbacks.compute_metrics.ComputeMetricsHook",
+                     "init_args": {"compute_fid": False}},
+                ],
+            },
+            "model": {
+                "vae_model": {
+                    "class_path": "src.models.transformer.encoder_ae.VAEModel",
+                    "init_args": {"select_layer": -1, "latent_channel": 8,
+                                  "load_pretrained_encoder": False},
+                },
+                "loss_module": {
+                    "class_path":
+                        "src.models.modules.vae_loss.VAEReconstructionLoss",
+                    "init_args": {
+                        "discriminator_start": 0,
+                        "discriminator_factor": 1.0,
+                        "discriminator_weight": 0.1,
+                        "lecam_regularization_weight": 0.001,
+                        "perceptual_weight": 0.0,
+                        "reconstruction_loss": "l2",
+                        "reconstruction_weight": 1.0,
+                        "kl_weight": 1e-6,
+                        "logvar_init": 0.0,
+                    },
+                },
+                "ema_tracker": {
+                    "class_path": "src.callbacks.simple_ema.SimpleEMA",
+                    "init_args": {"decay": 0.999},
+                },
+                "optimizer": {"class_path": "torch.optim.AdamW",
+                              "init_args": {"lr": 1e-4, "betas": [0.9, 0.95]}},
+                "discriminator_optimizer": {
+                    "class_path": "torch.optim.AdamW",
+                    "init_args": {"lr": 1e-4, "betas": [0.9, 0.95]}},
+                "eval_original_model": True,
+                "freeze_encoder": True,
+            },
+            "data": {
+                "train_dataset": {
+                    "class_path": "deco_tpu.data.imagenet.PixImageNet",
+                    "init_args": {"root": img_root, "resolution": 28},
+                },
+                "eval_dataset": {
+                    "class_path": "deco_tpu.data.imagenet.PixImageNet",
+                    "init_args": {"root": img_root, "resolution": 28},
+                },
+                "train_batch_size": 1,
+                "pred_batch_size": 1,
+            },
+            "mesh": {"data": 1},
+        }
+
+    @pytest.fixture(scope="class")
+    def tiny_run(self, img_root, tmp_path_factory):
+        """One constructed run reused across assertions (VAEModel init is the
+        expensive part)."""
+        wd = str(tmp_path_factory.mktemp("vae_ref"))
+        config = self._config(img_root)
+        # shrink the default VAE for test speed
+        run = workloads.VAEGANRun(config, workdir=wd)
+        from deco_tpu.models.uniflow.vit import ViTConfig
+        from deco_tpu.models.vae_models import VAEModel
+
+        run.vae = VAEModel(
+            vit=ViTConfig(hidden_size=32, num_layers=3, num_heads=4,
+                          intermediate_size=64, patch_size=14, image_size=28,
+                          qk_normalization=True, norm_type="rms_norm"),
+            llm_hidden_size=24, latent_channel=8, gen_select_layer=2,
+            stochastic=run.vae.stochastic,
+            decoder_channels=(8, 8, 8, 8, 16, 16),
+            decoder_layers=(1, 1, 1, 1, 1, 1),
+            decoder_attn=(False,) * 6,
+        )
+        return run, config, wd
+
+    def test_schema_parsing(self, tiny_run):
+        run, _, _ = tiny_run
+        # encoder_ae.VAEModel => stochastic posterior + KL (SURVEY §2.8)
+        assert run.vae.stochastic
+        assert run.loss_cfg.kl_weight == 1e-6
+        assert run.loss_cfg.discriminator_iter_start == 0
+        assert run.use_ema and run.ema_decay == 0.999
+        assert run.freeze_encoder
+
+    def test_fit_checkpoint_resume_validate(self, tiny_run):
+        run, config, wd = tiny_run
+        state = run.fit(max_steps=2)
+        assert int(state.step) == 2
+        assert state.gen_ema_params is not None
+        from deco_tpu.train.checkpoint import CheckpointManager
+
+        assert CheckpointManager(
+            os.path.join(wd, "checkpoints"), 0).latest_step() == 2
+        # resume continues
+        state2 = run.fit(max_steps=4)
+        assert int(state2.step) == 4
+        scores = run.validate(state=state2, max_batches=1)
+        assert "metrics/psnr" in scores
+        assert os.path.exists(os.path.join(wd, "validate_metrics.json"))
+        imgs = os.listdir(os.path.join(wd, "images"))
+        assert any(f.startswith("reconstruction") for f in imgs)
