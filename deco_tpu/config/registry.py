@@ -88,6 +88,11 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     "src.data.dataset.imagenet.PixMultiJSONLDataset": "deco_tpu.data.jsonl.PixMultiJSONLDataset",
     "src.data.dataset.blip3o_dataset.PackedParquetDataset": "deco_tpu.data.packed.PackedParquetDataset",
     "src.data.dataset.blip3o_dataset.WebDatasetPackedDataset": "deco_tpu.data.packed.WebDatasetPacked",
+    "src.data.dataset.blip3o_ori_dataset.LazySupervisedMixDataset": "deco_tpu.data.blip3o_sft.LazySupervisedMixDataset",
+    # legacy TiTok loss stages (config-unreferenced upstream)
+    "src.models.modules.losses.ReconstructionLoss_Base": "deco_tpu.models.gan.legacy_losses.TiTokLoss",
+    "src.models.modules.losses.ReconstructionLoss_Stage1": "deco_tpu.models.gan.legacy_losses.TiTokLoss",
+    "src.models.modules.losses.ReconstructionLoss_Stage2": "deco_tpu.models.gan.legacy_losses.TiTokLoss",
     # EMA tracker config nodes (consumed as plain settings by the train loop)
     "src.callbacks.simple_ema.SimpleEMA": "deco_tpu.config.registry._SimpleEMAConfig",
     "torch.optim.AdamW": "deco_tpu.config.registry._AdamWConfig",

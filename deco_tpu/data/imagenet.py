@@ -66,10 +66,25 @@ class PixImageNet:
     def __len__(self):
         return len(self.samples)
 
+    def _load_center_cropped(self, path: str) -> np.ndarray:
+        """ADM center crop via the native data-plane when built (threaded
+        libjpeg + PIL-parity resampler, deco_tpu/data/native.py), PIL
+        otherwise. Pixel-equivalent within 1 LSB (test_native_dataplane)."""
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from deco_tpu.data import native
+
+            if native.available():
+                with open(path, "rb") as f:
+                    arr = native.decode_jpeg_adm(f.read(), self.resolution)
+                if arr is not None:
+                    return arr
+        img = Image.open(path).convert("RGB")
+        return np.array(adm_center_crop(img, self.resolution))
+
     def __getitem__(self, idx: int):
         path, target = self.samples[idx]
-        img = Image.open(path).convert("RGB")
         if self.random_crop:
+            img = Image.open(path).convert("RGB")
             # Resize(short side) + RandomCrop + flip
             w, h = img.size
             scale = self.resolution / min(w, h)
@@ -83,7 +98,7 @@ class PixImageNet:
             if self._rng.rand() < 0.5:
                 arr = arr[:, ::-1]
         else:
-            arr = np.array(adm_center_crop(img, self.resolution))
+            arr = self._load_center_cropped(path)
             if self.random_flip and self._rng.rand() < 0.5:
                 arr = arr[:, ::-1]
         raw = arr.astype(np.float32) / 255.0  # [0,1] HWC

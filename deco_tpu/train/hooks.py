@@ -204,11 +204,12 @@ class ImageLogger:
     and mirrored to TensorBoard when a writer is available."""
 
     def __init__(self, workdir: str, subdir: str = "images",
-                 max_images: int = 16, tb_writer=None):
+                 max_images: int = 16, tb_writer=None, wandb_run=None):
         self.root = os.path.join(workdir, subdir)
         os.makedirs(self.root, exist_ok=True)
         self.max_images = max_images
         self._tb = tb_writer
+        self._wandb = wandb_run
         self._count = 0
 
     def _write(self, panel_uint8: np.ndarray, name: str, step: int):
@@ -217,6 +218,11 @@ class ImageLogger:
         Image.fromarray(panel_uint8).save(
             os.path.join(self.root, f"{name}_step{step}_{self._count:03d}.png")
         )
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({f"images/{name}": wandb.Image(panel_uint8)},
+                            step=step)
         if self._tb is not None:
             self._tb.add_image(
                 f"images/{name}", panel_uint8, step, dataformats="HWC"
@@ -255,11 +261,33 @@ class ImageLogger:
         self._count = 0
 
 
+def _maybe_wandb(workdir: str, project: Optional[str], config: Optional[dict]):
+    """Import-gated W&B run (reference WandbLogger,
+    ``configs/vae_training.yaml:16-19`` / ``train.py`` of hhhhzp/DeCo).
+
+    Activated by ``project`` or the ``WANDB_PROJECT`` env var when the
+    ``wandb`` package is importable; this image ships without it, so zero-
+    egress environments silently keep the JSONL+TB path (PARITY §2.12)."""
+    project = project or os.environ.get("WANDB_PROJECT")
+    if not project:
+        return None
+    try:
+        import wandb
+
+        return wandb.init(project=project, dir=workdir,
+                          name=os.path.basename(os.path.abspath(workdir)),
+                          config=config, resume="allow")
+    except Exception:
+        return None
+
+
 class ScalarLogger:
-    """JSONL + optional TensorBoard step-scalar logger."""
+    """JSONL + optional TensorBoard + optional W&B step-scalar logger."""
 
     def __init__(self, workdir: str, use_tensorboard: bool = True,
-                 log_every_n_steps: int = 50):
+                 log_every_n_steps: int = 50,
+                 wandb_project: Optional[str] = None,
+                 run_config: Optional[dict] = None):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, "metrics.jsonl")
         self._fh = open(self.path, "a")
@@ -272,6 +300,7 @@ class ScalarLogger:
                 self._tb = SummaryWriter(os.path.join(workdir, "tb"))
             except Exception:
                 self._tb = None
+        self._wandb = _maybe_wandb(workdir, wandb_project, run_config)
         self._t0 = time.time()
 
     def log(self, step: int, metrics: dict, force: bool = False):
@@ -289,8 +318,13 @@ class ScalarLogger:
             for k, v in record.items():
                 if k not in ("step", "time"):
                     self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in record.items() if k != "step"}, step=step)
 
     def close(self):
         self._fh.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -98,6 +98,12 @@ class Experiment:
                 self.metrics_hook_cfg = cb.get("init_args", {})
         if not hasattr(self, "save_images_cfg"):
             self.save_images_cfg = {"save_dir": "val"}
+        # reference WandbLogger node; import-gated in hooks._maybe_wandb
+        lg = trainer_cfg.get("logger") or {}
+        self.wandb_project = None
+        if "WandbLogger" in str(lg.get("class_path", "")):
+            args = lg.get("init_args", {}) or {}
+            self.wandb_project = args.get("project", args.get("name", "deco"))
         self.diffusion_batch_mul = model_cfg.get("diffusion_batch_mul", 1)
 
         exp_name = config.get("tags", {}).get("exp", "exp")
@@ -193,7 +199,9 @@ class Experiment:
             grad_clip=self.grad_clip,
             accumulate_grad_batches=self.accumulate_grad_batches,
         )
-        logger = ScalarLogger(self.workdir, log_every_n_steps=self.log_every)
+        logger = ScalarLogger(self.workdir, log_every_n_steps=self.log_every,
+                              wandb_project=self.wandb_project,
+                              run_config=self.config)
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else self.max_steps
 

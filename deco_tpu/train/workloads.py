@@ -85,6 +85,14 @@ class _TrainerSection:
             "every_n_train_steps", 10000)
         self.metrics_cfg = cbs.get("ComputeMetricsHook")
         self.save_images_cfg = cbs.get("SaveImagesHook")
+        # reference WandbLogger node (configs/vae_training.yaml:15-18);
+        # project falls back to the run name — activation is import-gated
+        # in hooks._maybe_wandb (wandb absent => JSONL+TB only)
+        lg = t.get("logger") or {}
+        self.wandb_project = None
+        if "WandbLogger" in str(lg.get("class_path", "")):
+            args = lg.get("init_args", {}) or {}
+            self.wandb_project = args.get("project", args.get("name", "deco"))
 
 
 def _make_mesh(config):
@@ -305,7 +313,9 @@ class UniFlowRun:
 
         step_fn = self.exp.make_train_step()
         logger = ScalarLogger(self.workdir,
-                              log_every_n_steps=self.trainer.log_every)
+                              log_every_n_steps=self.trainer.log_every,
+                              wandb_project=self.trainer.wandb_project,
+                              run_config=self.config)
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else (
             self.trainer.max_steps or self.train_cfg.total_steps)
@@ -590,7 +600,9 @@ class VAEGANRun:
 
         step_fn = self._make_step()
         logger = ScalarLogger(self.workdir,
-                              log_every_n_steps=self.trainer.log_every)
+                              log_every_n_steps=self.trainer.log_every,
+                              wandb_project=self.trainer.wandb_project,
+                              run_config=self.config)
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else (
             self.trainer.max_steps or 200000)

@@ -208,3 +208,83 @@ class TestVendoredEvalAssets:
         noise, prompt, md = ds[0]
         assert isinstance(prompt, str) and len(prompt) > 0
         assert md["save_fn"] is not None
+
+
+class TestBlip3oSFT:
+    """Legacy BLIP3o SFT pipeline (reference blip3o_ori_dataset.py)."""
+
+    class StubTokenizer:
+        """Whitespace tokenizer; '<image>' gets a dedicated id."""
+
+        IMAGE_ID = 9999
+
+        def encode(self, text):
+            ids = []
+            text = (text.replace("<|im_start|>", " <|im_start|> ")
+                    .replace("<|im_end|>", " <|im_end|> ")
+                    .replace("\n", " \n "))
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                ids.append(self.IMAGE_ID if tok == "<image>"
+                           else (hash(tok) % 1000) + 1)
+            return ids
+
+    def _source(self, n=4):
+        rng = np.random.RandomState(0)
+        return [
+            {"image": rng.randint(0, 255, (8, 12, 3), np.uint8),
+             "txt": f"a photo number {i}",
+             "type": "T2I" if i % 2 == 0 else "I2I",
+             "id": str(i)}
+            for i in range(n)
+        ]
+
+    def test_expand2square(self):
+        from deco_tpu.data.blip3o_sft import expand2square
+
+        img = np.ones((8, 12, 3), np.uint8) * 7
+        sq = expand2square(img, (0, 0, 0))
+        assert sq.shape == (12, 12, 3)
+        assert (sq[2:10] == 7).all() and (sq[0] == 0).all()
+
+    def test_tokenize_image_sentinel_and_labels(self):
+        from deco_tpu.data.blip3o_sft import (IGNORE_INDEX,
+                                              IMAGE_TOKEN_INDEX,
+                                              build_conversation,
+                                              tokenize_conversation)
+
+        tok = self.StubTokenizer()
+        convs = build_conversation("T2I", "a cat")
+        out = tokenize_conversation(tok, convs,
+                                    image_token_id=tok.IMAGE_ID)
+        assert (out["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+        at = out["input_ids"] == IMAGE_TOKEN_INDEX
+        assert (out["labels"][at] == IGNORE_INDEX).all()
+        # labels mirror inputs elsewhere (upstream masking disabled)
+        assert (out["labels"][~at] == out["input_ids"][~at]).all()
+
+    def test_dataset_and_collator_static_shapes(self):
+        from deco_tpu.data.blip3o_sft import make_supervised_data_module
+
+        tok = self.StubTokenizer()
+        module = make_supervised_data_module(
+            tok, self._source(), image_token_id=tok.IMAGE_ID, max_len=64)
+        ds, collate = module["train_dataset"], module["data_collator"]
+        batch = collate([ds[i] for i in range(4)])
+        assert batch["input_ids"].shape == (4, 64)
+        assert batch["labels"].shape == (4, 64)
+        assert batch["attention_mask"].shape == (4, 64)
+        assert batch["target_images"].shape == (4, 8, 12, 3)
+        # padding is masked
+        assert not batch["attention_mask"][:, -1].any()
+
+    def test_retry_on_bad_image(self):
+        from deco_tpu.data.blip3o_sft import LazySupervisedMixDataset
+
+        tok = self.StubTokenizer()
+        src = self._source()
+        boom = lambda im: (_ for _ in ()).throw(ValueError("bad"))
+        ds = LazySupervisedMixDataset(tok, src, image_processor=boom)
+        with pytest.raises(RuntimeError):
+            ds[0]

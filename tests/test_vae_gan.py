@@ -138,3 +138,85 @@ class TestVAEGANStep:
         )
         _, m = step(state, {"x": x}, jax.random.PRNGKey(3))
         np.testing.assert_allclose(float(m["discriminator_loss"]), 0.0, atol=1e-7)
+
+
+class TestLegacyTiTokLosses:
+    """Legacy TiTok loss family (reference src/models/modules/losses.py)."""
+
+    def _setup(self):
+        disc = NLayerDiscriminator(hidden_channels=32, num_stages=1)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        params = disc.init(jax.random.PRNGKey(1), x)["params"]
+        apply = lambda p, img: disc.apply({"params": p}, img)
+        return apply, params, x
+
+    def test_vq_generator_composition(self):
+        from deco_tpu.models.gan.legacy_losses import TiTokLoss
+
+        apply, params, x = self._setup()
+        cfg = TiTokLoss(stage=0, quantize_mode="vq", quantizer_weight=0.5,
+                        discriminator_weight=0.1, discriminator_start=0)
+        recon = x * 0.9
+        extra = {"quantizer_loss": jnp.float32(0.4),
+                 "commitment_loss": jnp.float32(0.1),
+                 "codebook_loss": jnp.float32(0.3)}
+        total, m = cfg.generator_loss(apply, params, x, recon, extra,
+                                      global_step=jnp.int32(5))
+        # total = rec + 0.5*q + 0.1*gan  (no perceptual fn)
+        expected = (float(m["reconstruction_loss"]) + 0.5 * 0.4
+                    + 0.1 * float(m["gan_loss"]))
+        np.testing.assert_allclose(float(total), expected, rtol=1e-5)
+        assert float(m["quantizer_loss"]) == np.float32(0.5 * 0.4)
+
+    def test_vae_mode_fixed_logvar_and_kl(self):
+        from deco_tpu.models.gan.legacy_losses import TiTokLoss
+
+        apply, params, x = self._setup()
+        # stage1 vae mode: inputs imagenet-normalized, recon in [-1,1]
+        cfg = TiTokLoss(stage=1, quantize_mode="vae", kl_weight=1e-2,
+                        logvar_init=1.0, discriminator_weight=0.0)
+        xn = (x - jnp.asarray([0.485, 0.456, 0.406])) / jnp.asarray(
+            [0.229, 0.224, 0.225])
+        recon = x * 2.0 - 1.0  # decodes exactly back to x in [0,1]
+        total, m = cfg.generator_loss(
+            apply, params, xn, recon, {"kl": jnp.float32(3.0)},
+            global_step=jnp.int32(0))
+        # perfect reconstruction after alignment -> rec==0; total = kl term
+        np.testing.assert_allclose(float(m["reconstruction_loss"]), 0.0,
+                                   atol=1e-9)
+        np.testing.assert_allclose(float(total), 1e-2 * 3.0, rtol=1e-5)
+
+    def test_discriminator_gate_and_lecam(self):
+        from deco_tpu.models.gan.legacy_losses import TiTokLoss
+
+        apply, params, x = self._setup()
+        cfg = TiTokLoss(stage=0, quantize_mode="vq", discriminator_start=10,
+                        lecam_regularization_weight=0.1)
+        lecam = LeCamState.create()
+        # before start: hinge term gated to zero, lecam still applies
+        d0, lecam1, m0 = cfg.discriminator_loss(
+            apply, params, x, x * 0.5, jnp.int32(5), lecam)
+        assert float(m0["discriminator_loss"]) == float(m0["lecam_loss"])
+        # EMA advanced
+        assert float(lecam1.ema_real) != 0.0 or float(lecam1.ema_fake) != 0.0
+        # after start: hinge term active
+        d1, _, m1 = cfg.discriminator_loss(
+            apply, params, x, x * 0.5, jnp.int32(20), lecam1)
+        assert float(d1) != float(m1["lecam_loss"])
+
+    def test_jittable(self):
+        from deco_tpu.models.gan.legacy_losses import TiTokLoss
+
+        apply, params, x = self._setup()
+        cfg = TiTokLoss(stage=2, quantize_mode="vae", distill_weight=0.5)
+        distill_fn = lambda inp, feat: ((feat - 1.0) ** 2).mean()
+        extra = {"kl": jnp.float32(0.1),
+                 "distill_feat": jnp.ones((2, 4), jnp.float32)}
+
+        @jax.jit
+        def g(params, x, recon, step):
+            return cfg.generator_loss(apply, params, x, recon, extra, step,
+                                      distill_fn=distill_fn)[0]
+
+        v = g(params, x, x * 0.5, jnp.int32(3))
+        assert np.isfinite(float(v))
