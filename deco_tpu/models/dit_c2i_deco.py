@@ -50,14 +50,28 @@ class _DiTScanCell(nn.Module):
 def run_dit_blocks(
     x, c, rope, mask, *, num_blocks, num_heads, mlp_ratio=4.0,
     dtype=jnp.bfloat16, grad_checkpoint=False, align_layer=0, name="blocks",
+    remat_policy="full",
 ):
-    """Run a stack of FlattenDiTBlocks under nn.scan; returns (x, tapped_feat)."""
+    """Run a stack of FlattenDiTBlocks under nn.scan; returns (x, tapped_feat).
+
+    ``remat_policy`` (only with grad_checkpoint): "full" recomputes the whole
+    block in backward; "dots" saves matmul outputs and recomputes only
+    elementwise ops (``jax.checkpoint_policies.checkpoint_dots``). Measured
+    on v5e-1 (DeCo-XL 256px): dots OOMs at b24 (needs 16.8G) and at b20
+    delivers 62.0 img/s vs full-remat's 65.8 at b24 — the recompute saving
+    loses to reading the saved dot outputs back from HBM, so "full" stays the
+    single-chip default. The knob exists for fsdp-sharded multi-chip runs
+    where the 11G optimizer state divides across the mesh and dots fits at
+    full batch."""
     cell = _DiTScanCell
     if grad_checkpoint:
-        # full per-block remat: no remat needs ~31GB of activations at batch
-        # 32 (measured) and the save-matmul-outputs policy still needs ~20GB —
-        # only full recompute fits 16GB v5e alongside the 11GB optimizer state
-        cell = nn.remat(cell, prevent_cse=False)
+        if remat_policy == "dots":
+            cell = nn.remat(
+                cell, prevent_cse=False,
+                policy=jax.checkpoint_policies.checkpoint_dots,
+            )
+        else:
+            cell = nn.remat(cell, prevent_cse=False)
     scanned = nn.scan(
         cell,
         variable_axes={"params": 0},
@@ -93,6 +107,9 @@ class DeCoC2I(nn.Module):
     max_freqs: int = 8
     dtype: Any = jnp.bfloat16
     grad_checkpoint: bool = False
+    # trunk remat policy when grad_checkpoint: "full" | "dots" (see
+    # run_dit_blocks; the decoder always uses full per-block remat)
+    trunk_remat_policy: str = "full"
     align_layer: int = 0  # REPA feature tap (1-based block index); 0 = off
     # RoPE positions span [0, rope_scale] regardless of grid size (rope.py:5)
     rope_scale: float = 16.0
@@ -131,6 +148,7 @@ class DeCoC2I(nn.Module):
                 grad_checkpoint=self.grad_checkpoint,
                 align_layer=self.align_layer if return_features else 0,
                 name="blocks",
+                remat_policy=self.trunk_remat_policy,
             )
             s = nn.silu(t_emb + s)
 

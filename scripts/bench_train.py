@@ -59,8 +59,17 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256):
         state, metrics = step_fn(state, mk(i + 1), jax.random.PRNGKey(2 + i))
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
+    # training MFU: fwd + bwd ~ 3x the forward matmul flops (remat adds an
+    # extra decoder forward; counted via the remat_factor below)
+    from deco_tpu.utils.flops import PEAK_FLOPS, deco_c2i_flops
+
+    fwd = deco_c2i_flops(image_size=res, num_blocks=22 + dec_blocks,
+                         num_cond_blocks=22, hidden_x=64)
+    remat_factor = 3.0 + (1.0 if remat else 0.0) * (dec_blocks / (22 + dec_blocks))
+    train_flops = fwd * remat_factor
+    mfu = batch / dt * train_flops / PEAK_FLOPS["v5e"]
     print(f"res={res} batch={batch} remat={remat}: {dt*1e3:.1f} ms/step = "
-          f"{batch/dt:.1f} img/s  (compile+1st {compile_s:.1f}s)")
+          f"{batch/dt:.1f} img/s  mfu={mfu:.3f}  (compile+1st {compile_s:.1f}s)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""Qwen3TextEncoder real-HF-path test with a synthesized tiny checkpoint.
+
+VERDICT round-1 weak #7: the hash-embedding fallback kept t2i testable
+offline, but no shipped test exercised the real text-conditioning numerics.
+This builds a RANDOM-weight ``Qwen3Model`` + a from-scratch BPE tokenizer on
+disk (transformers ships the architecture code locally; no network), then
+drives ``Qwen3TextEncoder(weight_path=...)`` end-to-end through the exact
+code path the pretrained tower uses (reference
+``src/models/conditioner/qwen3_text_encoder.py:8-36`` of hhhhzp/DeCo):
+right-pad-to-max_length tokenization, last_hidden_state extraction,
+embed-dim fit, valid_length_y metadata, and negative-prompt caching.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen3_dir(tmp_path_factory):
+    from transformers import Qwen2Tokenizer, Qwen3Config, Qwen3Model
+
+    d = str(tmp_path_factory.mktemp("qwen3"))
+    vocab = {tok: i for i, tok in enumerate(
+        list("abcdefghijklmnopqrstuvwxyz")
+        + ["Ġ", "ca", "cat", "Ġc", "Ġca", "Ġcat",
+           "do", "dog", "<|endoftext|>", "<|im_start|>", "<|im_end|>"]
+    )}
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\nc a\nca t\nĠ c\nĠc a\nĠca t\n"
+                "d o\ndo g\n")
+    tok = Qwen2Tokenizer(os.path.join(d, "vocab.json"),
+                         os.path.join(d, "merges.txt"),
+                         pad_token="<|endoftext|>", eos_token="<|endoftext|>")
+    tok.save_pretrained(d)
+    cfg = Qwen3Config(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=len(vocab),
+                      max_position_embeddings=64, head_dim=8)
+    torch.manual_seed(0)
+    Qwen3Model(cfg).save_pretrained(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def encoder(tiny_qwen3_dir):
+    from deco_tpu.models.conditioners import Qwen3TextEncoder
+
+    return Qwen3TextEncoder(weight_path=tiny_qwen3_dir, embed_dim=48,
+                            max_length=8, negative_prompt="")
+
+
+class TestQwen3RealPath:
+    def test_shapes_and_valid_length(self, encoder):
+        md = {}
+        cond, uncond = encoder(["a cat", "dog"], md)
+        assert cond.shape == (2, 8, 48)
+        assert uncond.shape == (2, 8, 48)
+        assert np.isfinite(np.asarray(cond)).all()
+        vlen = np.asarray(md["valid_length_y"])
+        # real tokenization: multi-token first prompt, shorter second
+        assert vlen.shape == (2,) and vlen[0] > vlen[1] >= 1
+
+    def test_fit_dim_pads_hidden_to_embed_dim(self, encoder):
+        # hidden 32 -> embed 48: the tail must be zero padding
+        cond, _ = encoder(["cat"], {})
+        tail = np.asarray(cond)[..., 32:]
+        assert (tail == 0).all()
+        head = np.asarray(cond)[0, 0, :32]
+        assert np.abs(head).sum() > 0
+
+    def test_fit_dim_truncates(self, tiny_qwen3_dir):
+        from deco_tpu.models.conditioners import Qwen3TextEncoder
+
+        enc = Qwen3TextEncoder(weight_path=tiny_qwen3_dir, embed_dim=16,
+                               max_length=8)
+        cond, _ = enc(["cat"], {})
+        assert cond.shape[-1] == 16
+
+    def test_determinism_and_padding_region(self, encoder):
+        c1, _ = encoder(["a cat"], {})
+        c2, _ = encoder(["a cat"], {})
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_uncond_cache_and_negative_prompt(self, encoder):
+        md = {}
+        _, u1 = encoder(["cat", "dog", "a"], md)
+        # broadcast to batch
+        assert u1.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(u1[0]), np.asarray(u1[1]))
+        # per-request negative prompt takes a distinct cache entry
+        md2 = {"negative_prompt": "dog"}
+        _, u2 = encoder(["cat"], md2)
+        assert not np.allclose(np.asarray(u1[0]), np.asarray(u2[0]))
+
+    def test_matches_direct_torch_forward(self, encoder, tiny_qwen3_dir):
+        """The conditioner's output equals a hand-rolled HF forward."""
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(tiny_qwen3_dir,
+                                            padding_side="right")
+        model = AutoModel.from_pretrained(
+            tiny_qwen3_dir, dtype=torch.bfloat16).eval()
+        batch = tok(["a cat"], padding="max_length", truncation=True,
+                    max_length=8, return_tensors="pt")
+        with torch.no_grad():
+            ref = model(**batch).last_hidden_state.float().numpy()
+        cond, _ = encoder(["a cat"], {})
+        np.testing.assert_allclose(np.asarray(cond)[..., :32], ref,
+                                   rtol=1e-5, atol=1e-5)
