@@ -80,6 +80,20 @@ class PixWebDataset:
     def _process(self, image_bytes: bytes, target: int, rng: random.Random):
         from PIL import Image
 
+        if not self.random_crop:
+            # hot path: native decode + ADM crop when built
+            # (deco_tpu/data/native.py; PIL-parity within 1 LSB)
+            from deco_tpu.data import native
+
+            if native.available():
+                arr = native.decode_jpeg_adm(image_bytes, self.resolution)
+                if arr is not None:
+                    if self.random_flip and rng.random() < 0.5:
+                        arr = arr[:, ::-1]
+                    raw = np.ascontiguousarray(arr, np.float32) / 255.0
+                    return raw * 2.0 - 1.0, int(target), {
+                        "raw_image": raw, "class": int(target)}
+
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         if self.random_crop:
             w, h = img.size
