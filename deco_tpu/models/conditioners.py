@@ -125,15 +125,28 @@ class Qwen3TextEncoder(BaseConditioner):
         self._tokenizer = None
         self._uncond_cache = None
         if weight_path is not None:
-            import torch  # CPU-only; host-side text encoding
-            from transformers import AutoModel, AutoTokenizer
+            import os
+            import warnings
 
-            self._tokenizer = AutoTokenizer.from_pretrained(
-                weight_path, padding_side="right"
-            )
-            self._model = AutoModel.from_pretrained(
-                weight_path, torch_dtype=torch.bfloat16
-            ).eval()
+            if not os.path.isdir(str(weight_path)):
+                # weights-gated: the reference configs name a local model dir
+                # ('./Qwen/Qwen3-1.7B'); absent weights fall back to the
+                # deterministic hash embeddings so the config still loads in
+                # zero-egress environments
+                warnings.warn(
+                    f"Qwen3 weights not found at {weight_path}; using the "
+                    "offline hash-embedding fallback"
+                )
+            else:
+                import torch  # CPU-only; host-side text encoding
+                from transformers import AutoModel, AutoTokenizer
+
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    weight_path, padding_side="right"
+                )
+                self._model = AutoModel.from_pretrained(
+                    weight_path, torch_dtype=torch.bfloat16
+                ).eval()
 
     def _encode_hf(self, prompts, metadata):
         import torch

@@ -104,7 +104,10 @@ class Experiment:
         if "WandbLogger" in str(lg.get("class_path", "")):
             args = lg.get("init_args", {}) or {}
             self.wandb_project = args.get("project", args.get("name", "deco"))
-        self.diffusion_batch_mul = model_cfg.get("diffusion_batch_mul", 1)
+        # reference LightningModel default is 4 (lightning_model.py:43); the
+        # shipped single-chip configs pin 1 explicitly (16G HBM at the
+        # measured batch optima cannot carry the 4x latent replication)
+        self.diffusion_batch_mul = model_cfg.get("diffusion_batch_mul", 4)
 
         exp_name = config.get("tags", {}).get("exp", "exp")
         root = trainer_cfg.get("default_root_dir", "./workdirs")
