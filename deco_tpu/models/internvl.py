@@ -21,6 +21,7 @@ import dataclasses
 from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from deco_tpu.models.uniflow.components import resample_tokens
@@ -171,31 +172,68 @@ class InternVLChat:
                 weight_path, torch_dtype=torch.bfloat16, trust_remote_code=True
             ).eval()
 
-    def build_query(self, question: str, num_patches: int = 1,
-                    system_message: Optional[str] = None) -> str:
-        if "<image>" not in question:
-            question = "<image>\n" + question
+    def build_query(self, question: str, num_patches_list=None,
+                    system_message: Optional[str] = None,
+                    history=None) -> str:
+        """Prompt assembly (modeling_internvl_chat.py:325-359): template turns
+        (+history) rendered, then each ``<image>`` replaced by
+        IMG_START + IMG_CONTEXT*num_image_token*num_patches + IMG_END.
+        Image tokens are inserted only for provided patch counts — a
+        text-only chat carries none."""
         conv = get_conv_template(self.template)
         if system_message is not None:
             conv.system_message = system_message
+        for old_q, old_a in (history or []):
+            conv.append_message(conv.roles[0], old_q)
+            conv.append_message(conv.roles[1], old_a)
         conv.append_message(conv.roles[0], question)
         conv.append_message(conv.roles[1], None)
         query = conv.get_prompt()
-        image_tokens = (
-            self.IMG_START + self.IMG_CONTEXT * self.num_image_token * num_patches
-            + self.IMG_END
-        )
-        return query.replace("<image>", image_tokens, 1)
+        for num_patches in (num_patches_list or []):
+            image_tokens = (
+                self.IMG_START
+                + self.IMG_CONTEXT * self.num_image_token * num_patches
+                + self.IMG_END
+            )
+            query = query.replace("<image>", image_tokens, 1)
+        return query
 
-    def chat(self, question: str, pixel_values=None, **generation_config):
+    def chat(self, question: str, pixel_values=None, history=None,
+             return_history: bool = False, num_patches_list=None,
+             **generation_config):
+        """Reference chat protocol (modeling_internvl_chat.py:310-384):
+        prepend ``<image>`` for a fresh image turn, register the IMG_CONTEXT
+        token id on the model, stop at the template separator."""
         if self._model is None:
             raise RuntimeError(
                 "InternVLChat.chat needs a local HF checkpoint (weight_path); "
                 "none available in this environment"
             )
-        query = self.build_query(question)
-        inputs = self._tokenizer(query, return_tensors="pt")
-        out = self._model.generate(**inputs, **generation_config)
-        text = self._tokenizer.decode(out[0], skip_special_tokens=True)
+        import torch
+
+        if history is None and pixel_values is not None \
+                and "<image>" not in question:
+            question = "<image>\n" + question
+        if num_patches_list is None:
+            num_patches_list = ([pixel_values.shape[0]]
+                                if pixel_values is not None else [])
+        self._model.img_context_token_id = \
+            self._tokenizer.convert_tokens_to_ids(self.IMG_CONTEXT)
         conv = get_conv_template(self.template)
-        return text.split(conv.sep.strip())[0].strip()
+        eos_token_id = self._tokenizer.convert_tokens_to_ids(conv.sep.strip())
+        query = self.build_query(question, num_patches_list=num_patches_list,
+                                 history=history)
+        inputs = self._tokenizer(query, return_tensors="pt")
+        if pixel_values is not None:
+            if not torch.is_tensor(pixel_values):
+                pixel_values = torch.as_tensor(np.asarray(pixel_values))
+            pixel_values = pixel_values.to(self._model.dtype)
+        out = self._model.generate(
+            pixel_values=pixel_values, input_ids=inputs.input_ids,
+            attention_mask=inputs.attention_mask,
+            eos_token_id=eos_token_id, **generation_config)
+        text = self._tokenizer.batch_decode(out, skip_special_tokens=True)[0]
+        response = text.split(conv.sep.strip())[0].strip()
+        if return_history:
+            return response, (history or []) + [(question, response)]
+        return response
