@@ -250,3 +250,47 @@ def load_teacher_feature_fn(model_dir: str, dtype=None):
         return {"vit_embeds": embeds, "vit_embeds_mlp": mlp1_apply(embeds)}
 
     return feature_fn
+
+
+def dinov2_params_from_torch(sd, num_layers: int = 12) -> dict:
+    """torch-hub DINOv2 (dinov2_vitb14) state dict -> DINOv2 encoder params.
+
+    Remaps the hub layout (``patch_embed.proj``, ``cls_token``, ``pos_embed``,
+    ``blocks.{i}.{norm1,attn.qkv,attn.proj,ls1.gamma,mlp.fc1,...}``, final
+    ``norm``) onto the InternViT-style :func:`vit_params_from_torch` layout
+    (the architectures coincide: pre-norm ViT + LayerScale, exact GELU), and
+    carries the final LayerNorm the reference feature extractor applies
+    (``x_norm_patchtokens``, reference encoder_custom.py:44). Load the result
+    into :class:`deco_tpu.models.encoders.DINOv2` via an npz with key
+    ``params``.
+    """
+    g = lambda k: np.asarray(sd[k])
+    remapped = {
+        "embeddings.class_embedding": g("cls_token").reshape(1, 1, -1),
+        "embeddings.position_embedding": g("pos_embed"),
+        "embeddings.patch_embedding.weight": g("patch_embed.proj.weight"),
+        "embeddings.patch_embedding.bias": g("patch_embed.proj.bias"),
+    }
+    for i in range(num_layers):
+        src, dst = f"blocks.{i}.", f"encoder.layers.{i}."
+        for a, b in (("attn.qkv.weight", "attn.qkv.weight"),
+                     ("attn.qkv.bias", "attn.qkv.bias"),
+                     ("attn.proj.weight", "attn.proj.weight"),
+                     ("attn.proj.bias", "attn.proj.bias"),
+                     ("mlp.fc1.weight", "mlp.fc1.weight"),
+                     ("mlp.fc1.bias", "mlp.fc1.bias"),
+                     ("mlp.fc2.weight", "mlp.fc2.weight"),
+                     ("mlp.fc2.bias", "mlp.fc2.bias"),
+                     ("norm1.weight", "norm1.weight"),
+                     ("norm1.bias", "norm1.bias"),
+                     ("norm2.weight", "norm2.weight"),
+                     ("norm2.bias", "norm2.bias"),
+                     ("ls1.gamma", "ls1"),
+                     ("ls2.gamma", "ls2")):
+            if src + a in sd:
+                remapped[dst + b] = g(src + a)
+    out = vit_params_from_torch(remapped, num_layers, norm_type="layer_norm")
+    return {
+        "params": out,
+        "final_norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }

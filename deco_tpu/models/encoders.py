@@ -34,13 +34,15 @@ class DINOv2:
 
     def __init__(self, weight_path: Optional[str] = None,
                  base_patch_size: int = 16, hidden_size: int = 768,
-                 num_layers: int = 12, num_heads: int = 12, rng_seed: int = 0):
+                 num_layers: int = 12, num_heads: int = 12, rng_seed: int = 0,
+                 image_size: int = 518):
         from deco_tpu.models.uniflow.vit import ViTConfig, VisionModel
 
         self.base_patch_size = base_patch_size
         self.cfg = ViTConfig(
             hidden_size=hidden_size, num_layers=num_layers, num_heads=num_heads,
-            intermediate_size=hidden_size * 4, patch_size=14, image_size=518,
+            intermediate_size=hidden_size * 4, patch_size=14,
+            image_size=image_size,
             qkv_bias=True, qk_normalization=False, norm_type="layer_norm",
             initializer_factor=1.0,
         )
@@ -61,14 +63,31 @@ class DINOv2:
             )
 
     def __call__(self, x, resize: bool = True):
-        """x: (B, H, W, 3) in [0, 1] -> (B, N, D) patch tokens."""
+        """x: (B, H, W, 3) in [0, 1] -> (B, N, D) patch tokens.
+
+        Matches the reference's ``forward_features(x)['x_norm_patchtokens']``
+        (encoder_custom.py:44): the FINAL LayerNorm applies before patch
+        tokens are taken — converted checkpoints carry it as
+        ``params['final_norm']`` (dinov2_params_from_torch); random-weight
+        fallbacks run identity (no norm params)."""
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if resize:
             b, h, w, c = x.shape
             th = int(14 * h / self.base_patch_size)
             tw = int(14 * w / self.base_patch_size)
             x = jax.image.resize(x, (b, th, tw, c), "cubic")
-        hidden, _ = self.model.apply(self.params, x)
+        hidden, _ = self.model.apply(
+            {"params": self.params["params"]} if "params" in self.params
+            else self.params, x)
+        fn = self.params.get("final_norm") if hasattr(self.params, "get") \
+            else None
+        if fn is not None:
+            hf = hidden.astype(jnp.float32)
+            mu = hf.mean(-1, keepdims=True)
+            var = ((hf - mu) ** 2).mean(-1, keepdims=True)
+            hidden = ((hf - mu) / jnp.sqrt(var + 1e-6)
+                      * jnp.asarray(fn["scale"]) + jnp.asarray(fn["bias"])
+                      ).astype(hidden.dtype)
         return hidden[:, 1:]  # patch tokens (drop cls)
 
 

@@ -339,6 +339,11 @@ def flash_attention(q, k, v, scale: float | None = None):
     n_kv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if n_q % 8 or n_kv % 8:
+        # Mosaic requires sublane-divisible (8) sequence blocks; tiny/ragged
+        # sequences (e.g. a 2x2+cls ViT probe = 5 tokens) take the XLA fused
+        # path — at these sizes the kernel has no advantage anyway
+        return jax.nn.dot_product_attention(q, k, v, scale=scale)
     d_pad = -d % 128
     if d_pad:
         pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))

@@ -120,3 +120,19 @@ class TestFreqMSEPallas:
 
         np.testing.assert_allclose(val_p, val_x, rtol=1e-4)
         np.testing.assert_allclose(grad_p, grad_x, rtol=1e-3, atol=1e-6)
+
+
+class TestFlashRaggedFallback:
+    def test_sublane_indivisible_sequences_fall_back(self):
+        """Sequences not divisible by 8 (e.g. a ViT probe with 5 tokens)
+        can't lower to the Mosaic kernel; flash_attention must route them
+        to XLA with identical results (caught by the VAE-GAN TPU smoke)."""
+        from deco_tpu.ops.flash_attention import flash_attention
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 4, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 4, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 13, 4, 8))
+        out = flash_attention(q, k, v)
+        ref = jax.nn.dot_product_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)

@@ -23,30 +23,9 @@ transformers = pytest.importorskip("transformers")
 
 @pytest.fixture(scope="module")
 def tiny_qwen3_dir(tmp_path_factory):
-    from transformers import Qwen2Tokenizer, Qwen3Config, Qwen3Model
+    from tests.helpers_offline import build_tiny_qwen3
 
-    d = str(tmp_path_factory.mktemp("qwen3"))
-    vocab = {tok: i for i, tok in enumerate(
-        list("abcdefghijklmnopqrstuvwxyz")
-        + ["Ġ", "ca", "cat", "Ġc", "Ġca", "Ġcat",
-           "do", "dog", "<|endoftext|>", "<|im_start|>", "<|im_end|>"]
-    )}
-    with open(os.path.join(d, "vocab.json"), "w") as f:
-        json.dump(vocab, f)
-    with open(os.path.join(d, "merges.txt"), "w") as f:
-        f.write("#version: 0.2\nc a\nca t\nĠ c\nĠc a\nĠca t\n"
-                "d o\ndo g\n")
-    tok = Qwen2Tokenizer(os.path.join(d, "vocab.json"),
-                         os.path.join(d, "merges.txt"),
-                         pad_token="<|endoftext|>", eos_token="<|endoftext|>")
-    tok.save_pretrained(d)
-    cfg = Qwen3Config(hidden_size=32, intermediate_size=64,
-                      num_hidden_layers=2, num_attention_heads=4,
-                      num_key_value_heads=2, vocab_size=len(vocab),
-                      max_position_embeddings=64, head_dim=8)
-    torch.manual_seed(0)
-    Qwen3Model(cfg).save_pretrained(d)
-    return d
+    return build_tiny_qwen3(str(tmp_path_factory.mktemp("qwen3")))
 
 
 @pytest.fixture(scope="module")

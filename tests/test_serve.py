@@ -61,3 +61,49 @@ class TestPipeline:
                      height=32, width=32)
         # negative prompt feeds the uncond branch -> different output
         assert not np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestPipelineRealTextEncoder:
+    """t2i pipeline with the REAL HF Qwen3 path (synthesized tiny weights):
+    prompts flow tokenizer -> Qwen3 -> fit-dim -> CFG sampler end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def hf_pipeline(self, tmp_path_factory):
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        from tests.helpers_offline import build_tiny_qwen3
+
+        d = build_tiny_qwen3(str(tmp_path_factory.mktemp("qwen3_serve")))
+        conditioner = Qwen3TextEncoder(weight_path=d, embed_dim=16,
+                                       max_length=6)
+        model = DeCoT2I(
+            in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+            decoder_hidden_size=8, num_encoder_blocks=2, num_decoder_blocks=1,
+            num_text_blocks=1, txt_embed_dim=16, txt_max_length=6,
+            dtype=jnp.float32,
+        )
+        cond, _ = conditioner(["warmup"], {})
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1,)), cond[:1],
+        )
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)]
+        params = jax.tree.unflatten(treedef, leaves)
+        return Pipeline(PixelAE(), model, conditioner, params,
+                        base_resolution=32)
+
+    def test_generate_with_real_conditioning(self, hf_pipeline):
+        imgs = hf_pipeline(["a cat"], height=32, width=32, num_steps=4,
+                           cfg=2.0, seed=0)
+        assert len(imgs) == 1 and imgs[0].size == (32, 32)
+
+    def test_prompts_differ(self, hf_pipeline):
+        a = hf_pipeline(["a cat"], height=32, width=32, num_steps=4,
+                        cfg=2.0, seed=0)
+        b = hf_pipeline(["dog"], height=32, width=32, num_steps=4,
+                        cfg=2.0, seed=0)
+        import numpy as _np
+        assert not _np.array_equal(_np.asarray(a[0]), _np.asarray(b[0]))
