@@ -58,7 +58,7 @@ def main(argv=None):
     imp.add_argument("src")
     imp.add_argument("dst")
     imp.add_argument("--model", required=True,
-                     choices=["c2i", "t2i", "uniflow", "vit"])
+                     choices=["c2i", "t2i", "uniflow", "vit", "dinov2"])
     imp.add_argument("--prefix", default="denoiser.",
                      help="key namespace for c2i/t2i lightning ckpts "
                           "(denoiser. or ema_denoiser.)")
@@ -99,6 +99,16 @@ def main(argv=None):
             from deco_tpu.convert.uniflow_bridge import uniflow_params_from_torch
 
             params = uniflow_params_from_torch(sd, use_ema=args.ema)
+        elif args.model == "dinov2":
+            # torch-hub dinov2_vitb14 layout -> npz for encoders.DINOv2
+            from deco_tpu.convert.vit_bridge import dinov2_params_from_torch
+
+            params = dinov2_params_from_torch(sd, num_layers=args.num_layers)
+            if args.dst.endswith(".npz"):
+                np.savez(args.dst, params=params)
+                n = sum(int(np.prod(np.shape(l))) for l in _leaves(params))
+                print(f"wrote {args.dst}: {n/1e6:.1f}M params (dinov2 npz)")
+                return
         else:
             from deco_tpu.convert.vit_bridge import vit_params_from_torch
 

@@ -237,3 +237,44 @@ class InternVLChat:
         if return_history:
             return response, (history or []) + [(question, response)]
         return response
+
+    def batch_chat(self, questions, pixel_values=None, num_patches_list=None,
+                   **generation_config):
+        """Batched single-turn chat (modeling_internvl_chat.py:241-308):
+        per-question prompt assembly, LEFT-padded batch tokenization so
+        generation continues from the prompt tail, one generate call."""
+        if self._model is None:
+            raise RuntimeError(
+                "InternVLChat.batch_chat needs a local HF checkpoint "
+                "(weight_path); none available in this environment"
+            )
+        import torch
+
+        if num_patches_list is None:
+            num_patches_list = ([1] * len(questions)
+                                if pixel_values is not None
+                                else [0] * len(questions))
+        self._model.img_context_token_id = \
+            self._tokenizer.convert_tokens_to_ids(self.IMG_CONTEXT)
+        queries = []
+        for question, num_patches in zip(questions, num_patches_list):
+            if pixel_values is not None and "<image>" not in question:
+                question = "<image>\n" + question
+            queries.append(self.build_query(
+                question,
+                num_patches_list=[num_patches] if num_patches else []))
+        conv = get_conv_template(self.template)
+        self._tokenizer.padding_side = "left"
+        inputs = self._tokenizer(queries, return_tensors="pt", padding=True)
+        if pixel_values is not None:
+            if not torch.is_tensor(pixel_values):
+                pixel_values = torch.as_tensor(np.asarray(pixel_values))
+            pixel_values = pixel_values.to(self._model.dtype)
+        out = self._model.generate(
+            pixel_values=pixel_values, input_ids=inputs.input_ids,
+            attention_mask=inputs.attention_mask,
+            eos_token_id=self._tokenizer.convert_tokens_to_ids(
+                conv.sep.strip()),
+            **generation_config)
+        texts = self._tokenizer.batch_decode(out, skip_special_tokens=True)
+        return [t.split(conv.sep.strip())[0].strip() for t in texts]

@@ -164,3 +164,24 @@ class TestChatRealPath:
         a = chat.chat("Say something.", max_new_tokens=5, do_sample=False)
         b = chat.chat("Say something.", max_new_tokens=5, do_sample=False)
         assert a == b
+
+
+class TestBatchChat:
+    def test_batch_chat_text_only(self, chat):
+        answers = chat.batch_chat(["What is this?", "Count to three."],
+                                  max_new_tokens=5, do_sample=False)
+        assert len(answers) == 2 and all(isinstance(a, str) for a in answers)
+
+    def test_batch_chat_with_images(self, chat):
+        px = torch.randn(2, 3, 28, 28)
+        answers = chat.batch_chat(["Describe.", "What color?"],
+                                  pixel_values=px,
+                                  num_patches_list=[1, 1],
+                                  max_new_tokens=5, do_sample=False)
+        assert len(answers) == 2
+
+    def test_batch_matches_single_greedy(self, chat):
+        single = chat.chat("What is this?", max_new_tokens=5, do_sample=False)
+        batch = chat.batch_chat(["What is this?"], max_new_tokens=5,
+                                do_sample=False)
+        assert batch[0] == single
