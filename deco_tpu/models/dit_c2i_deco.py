@@ -64,7 +64,10 @@ def run_dit_blocks(
     where the 11G optimizer state divides across the mesh and dots fits at
     full batch."""
     cell = _DiTScanCell
-    if grad_checkpoint:
+    if grad_checkpoint and remat_policy != "none":
+        # "none" skips trunk remat entirely (decoder keeps full remat via
+        # grad_checkpoint): saves the trunk's 1x-forward recompute in bwd at
+        # the cost of storing trunk activations
         if remat_policy == "dots":
             cell = nn.remat(
                 cell, prevent_cse=False,
