@@ -1,7 +1,7 @@
 """ctypes bindings for the native data-plane (threaded JPEG decode + ADM crop).
 
 The C++ library (``native/dataplane.cpp``, built by
-``scripts/build_native.sh`` into ``deco_tpu/data/_dataplane.so``) is the
+``scripts/build_native.sh`` into ``native/libdataplane.so``) is the
 TPU-host equivalent of the reference input path's native parts (torch C++
 DataLoader workers + PIL C decoders feeding ``src/data/dataset/imagenet.py``
 of hhhhzp/DeCo). Everything degrades gracefully: if the .so is missing or
@@ -18,7 +18,10 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "_dataplane.so")
+# built OUTSIDE the package dir (a bare .so inside it would look like a
+# broken CPython extension module to pkgutil walkers)
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "libdataplane.so")
 _lib = None
 _checked = False
 

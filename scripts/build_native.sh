@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
 # Build the native data-plane (native/dataplane.cpp) into
-# deco_tpu/data/_dataplane.so. Requires g++ and libjpeg-dev.
+# native/libdataplane.so. Requires g++ and libjpeg-dev.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 g++ -O3 -march=native -fPIC -shared -std=c++17 \
     native/dataplane.cpp -ljpeg -lpthread \
-    -o deco_tpu/data/_dataplane.so
-echo "built deco_tpu/data/_dataplane.so"
+    -o native/libdataplane.so
+echo "built native/libdataplane.so"

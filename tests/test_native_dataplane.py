@@ -1,6 +1,6 @@
 """Native data-plane (C++ threaded JPEG decode + ADM crop) parity tests.
 
-The contract: ``deco_tpu/data/_dataplane.so`` must reproduce the PIL pipeline
+The contract: ``native/libdataplane.so`` must reproduce the PIL pipeline
 in :func:`deco_tpu.data.imagenet.adm_center_crop` (reference
 ``src/data/dataset/imagenet.py:12-32`` of hhhhzp/DeCo — FID-critical) within
 1 LSB. Tests build the library on demand when the toolchain is present.
@@ -16,7 +16,7 @@ import pytest
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SO = os.path.join(REPO, "deco_tpu", "data", "_dataplane.so")
+SO = os.path.join(REPO, "native", "libdataplane.so")
 
 
 def _ensure_built():
