@@ -104,16 +104,21 @@ def main():
     # does not reliably fence, so same-input loops measure nothing.
     float(jnp.sum(sample(params, noise)))  # compile
     print(f"# compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    n_iters = 1
-    t_start = time.perf_counter()
+    # >=3 timed dispatches, each with fresh noise + a host readback (the relay
+    # elides repeated identical executions); report the mean and the per-iter
+    # spread — single-dispatch numbers showed +-5-20% session variance.
+    n_iters = 3
+    per_iter = []
     for i in range(n_iters):
         noise_i = jax.random.normal(jax.random.PRNGKey(2 + i), x0.shape)
+        t_it = time.perf_counter()
         float(jnp.sum(sample(params, noise_i)))
-    elapsed = time.perf_counter() - t_start
-    img_per_sec = batch * n_iters / elapsed
+        per_iter.append(time.perf_counter() - t_it)
+    img_per_sec = batch * n_iters / sum(per_iter)
 
     n_chips = jax.device_count()
     value = img_per_sec / n_chips
+    iter_rates = sorted(batch / t / n_chips for t in per_iter)
 
     # MFU against the chip's bf16 peak (BASELINE "speed-of-light" bar):
     # model FLOPs per image x img/s/chip / peak.
@@ -131,6 +136,9 @@ def main():
         "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 3),
         "mfu": round(mfu, 4),
         "flops_per_image": round(fpi, 0),
+        "n_iters": n_iters,
+        "iter_min": round(iter_rates[0], 3),
+        "iter_max": round(iter_rates[-1], 3),
     }))
 
 

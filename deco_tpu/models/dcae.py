@@ -205,6 +205,12 @@ class DCAEDecoder(nn.Module):
     attention_stages: Sequence[bool] = (False, False, False, True, True, True)
     attention_head_dim: int = 32
     in_shortcut: bool = True
+    # head=False reproduces the reference's vendored headless decoder
+    # (modeling_dcae.py:526-605 has no norm_out/conv_out): the output is the
+    # block_out_channels[0]-wide feature map, used by the UniFlow DCAE-variant
+    # pixel branch as per-pixel flow conditioning (modeling_uniflow_dcae.py:
+    # 1168-1172, 1402-1425).
+    head: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -228,6 +234,8 @@ class DCAEDecoder(nn.Module):
                 else:
                     h = DCResBlock(ch, dtype=self.dtype,
                                    name=f"stage_{i}_block_{li}")(h)
+        if not self.head:
+            return h
         h = L.RMSNorm(name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,

@@ -255,7 +255,9 @@ def convnext_s_params_from_torch(sd) -> dict:
                         "bias": g(f"{blk}.3.bias")},
                 "pw2": {"kernel": g(f"{blk}.5.weight").T,
                         "bias": g(f"{blk}.5.bias")},
-                "gamma": g(f"features.{feat_idx}.{bi}.layer_scale"),
+                # torchvision stores layer_scale as (dim, 1, 1); the flax
+                # gamma is (dim,) — without the reshape it mis-broadcasts
+                "gamma": g(f"features.{feat_idx}.{bi}.layer_scale").reshape(-1),
             }
     p["head_norm"] = {"scale": g("classifier.0.weight"),
                       "bias": g("classifier.0.bias")}

@@ -78,13 +78,25 @@ class UniFlowConfig:
     decoder_type: str = "mlp"
     compression_layers: tuple = (-1, 4)
     num_query_per_layer: tuple = (64, 191)
+    # --- DCAE-variant pixel branch (decoder_type="dcae") ---
+    # Reference UniFlowVisionModel_DCAE hard-codes the Sana-600M DC-AE decoder
+    # geometry (modeling_uniflow_dcae.py:1168-1172); these fields expose it so
+    # tiny test configs are possible. The per-pixel flow head is width 64 /
+    # depth 6 upstream (:1174-1186).
+    dcae_block_out_channels: tuple = (128, 256, 512, 512, 1024, 1024)
+    dcae_layers_per_block: tuple = (3, 3, 3, 3, 3, 3)
+    dcae_attention_stages: tuple = (False, False, False, True, True, True)
+    dcae_flow_width: int = 64
+    dcae_flow_depth: int = 6
 
     def __post_init__(self):
         # reference ships num_sampling_steps as a string ("4"); coerce like
         # modeling_uniflow.py:729 (int(num_sampling_steps))
         object.__setattr__(self, "num_sampling_steps",
                            int(self.num_sampling_steps))
-        for k in ("compression_layers", "num_query_per_layer"):
+        for k in ("compression_layers", "num_query_per_layer",
+                  "dcae_block_out_channels", "dcae_layers_per_block",
+                  "dcae_attention_stages"):
             object.__setattr__(self, k, tuple(getattr(self, k)))
 
     @classmethod
@@ -165,7 +177,33 @@ class UniFlowVision(nn.Module):
         )
         grid = cfg.image_size // cfg.patch_size
 
-        if cfg.enable_pixel_branch:
+        if cfg.enable_pixel_branch and cfg.decoder_type == "dcae":
+            # DCAE-variant pixel branch (UniFlowVisionModel_DCAE,
+            # modeling_uniflow_dcae.py:1127-1186): gen_proj -> 32ch latent
+            # grid -> headless DC-AE decoder features -> bilinear resize onto
+            # the pixel grid -> per-pixel flow head (patch_size=1).
+            from deco_tpu.models.dcae import DCAEDecoder
+
+            self.gen_proj_fc1 = nn.Dense(4 * vh, dtype=self.dtype,
+                                         name="gen_latent_proj_fc1")
+            self.gen_proj_fc2 = nn.Dense(cfg.latent_ch, dtype=self.dtype,
+                                         name="gen_latent_proj_fc2")
+            self.dcae_decoder = DCAEDecoder(
+                latent_channels=cfg.latent_ch,
+                block_out_channels=cfg.dcae_block_out_channels,
+                layers_per_block=cfg.dcae_layers_per_block,
+                attention_stages=cfg.dcae_attention_stages,
+                head=False, dtype=self.dtype, name="dcae_decoder",
+            )
+            self.flow_head = FlowDecoder(
+                target_channels=3,
+                z_channels=cfg.dcae_block_out_channels[0],
+                width=cfg.dcae_flow_width, depth=cfg.dcae_flow_depth,
+                num_sampling_steps=cfg.num_sampling_steps,
+                patch_size=1, max_freqs=32, dtype=self.dtype,
+                name="flow_head",
+            )
+        elif cfg.enable_pixel_branch:
             self.gen_proj_fc1 = nn.Dense(4 * vh, dtype=self.dtype,
                                          name="gen_latent_proj_fc1")
             self.gen_proj_fc2 = nn.Dense(vh, dtype=self.dtype,
@@ -234,6 +272,23 @@ class UniFlowVision(nn.Module):
         sem_after_mlp = self.mlp1(sem_down)
         return sem_down, sem_after_mlp, latent
 
+    def _run_pixel_trunk_dcae(self, latent, out_hw):
+        """DCAE-variant conditioning (modeling_uniflow_dcae.py:1384-1425):
+        latent tokens -> gen_proj -> layer_norm -> spatial 32ch grid ->
+        headless DC-AE decoder -> bilinear resize onto the (H, W) pixel grid
+        -> (B, H*W, C_feat) per-pixel condition tokens."""
+        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(latent)))
+        cond = _param_free_layer_norm(cond, eps=1e-5)
+        b, n, c = cond.shape
+        grid = int(round(np.sqrt(n)))
+        z = cond.reshape(b, grid, grid, c)
+        feats = self.dcae_decoder(z)
+        h, w = out_hw
+        feats = jax.image.resize(
+            feats.astype(jnp.float32), (b, h, w, feats.shape[-1]), "bilinear"
+        ).astype(feats.dtype)
+        return feats.reshape(b, h * w, feats.shape[-1])
+
     def _run_pixel_trunk(self, latent):
         up = C.resample_tokens(latent, 2.0)
         cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(up)))
@@ -299,15 +354,20 @@ class UniFlowVision(nn.Module):
             total = total + distill + sem_out["mse_loss"] + vit_distill
 
         if cfg.enable_pixel_branch:
-            cond, _ = self._run_pixel_trunk(latent)
+            pix_patch = 1 if cfg.decoder_type == "dcae" else cfg.patch_size
+            if cfg.decoder_type == "dcae":
+                cond = self._run_pixel_trunk_dcae(
+                    latent, pixel_values.shape[1:3])
+            else:
+                cond, _ = self._run_pixel_trunk(latent)
             target_latent = C.p2l_transform(
-                pixel_values.astype(jnp.float32), cfg.patch_size
+                pixel_values.astype(jnp.float32), pix_patch
             )
             pix_out = self.flow_head.forward_train(target_latent, cond, rng_pix)
             losses["flow_loss"] = pix_out["mse_loss"]
             lpips = jnp.float32(0.0)
             if lpips_fn is not None:
-                pred_img = C.l2p_transform(pix_out["pred"], cfg.patch_size)
+                pred_img = C.l2p_transform(pix_out["pred"], pix_patch)
                 pred_img = jnp.clip(pred_img, -1, 1) * 0.5 + 0.5
                 tgt_img = jnp.clip(pixel_values, -1, 1) * 0.5 + 0.5
                 lpips = lpips_fn(pred_img, tgt_img)
@@ -324,7 +384,11 @@ class UniFlowVision(nn.Module):
         assert mode in ("pixel", "semantic")
         _, _, latent = self.forward_encoder(pixel_values, normalize_type)
         if mode == "pixel":
-            cond, _ = self._run_pixel_trunk(latent)
+            if self.cfg.decoder_type == "dcae":
+                cond = self._run_pixel_trunk_dcae(
+                    latent, pixel_values.shape[1:3])
+            else:
+                cond, _ = self._run_pixel_trunk(latent)
             return self.flow_head.sample(cond, rng)
         cond, _ = self._run_semantic_trunk(latent)
         return self.sem_flow_head.sample(cond, rng, as_image=False)

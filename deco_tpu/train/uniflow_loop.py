@@ -128,13 +128,17 @@ class UniFlowExperiment:
 
     def reconstruct(self, params, x, rng, mode: str = "pixel"):
         """Pad H,W to x(2*patch) multiples — x28 for patch 14 — reconstruct,
-        unpad (reference :405-474; the x2 covers the latent down/upsample)."""
+        unpad (reference :405-474; the x2 covers the latent down/upsample).
+        Padding is split symmetrically (top/bottom, left/right) exactly as
+        lightning_uniflow_model.py:420-442 does, so the model sees the image
+        centered in the padded canvas and metrics match the reference."""
         b, h, w, c = x.shape
         mult = 2 * self.model.cfg.patch_size
         ph, pw = (-h) % mult, (-w) % mult
+        pt, pl = ph // 2, pw // 2
         if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (pt, ph - pt), (pl, pw - pl), (0, 0)))
         out = self.model.apply(params, x, rng, mode=mode)
         if mode == "pixel" and (ph or pw):
-            out = out[:, :h, :w]
+            out = out[:, pt:pt + h, pl:pl + w]
         return out

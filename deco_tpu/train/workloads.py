@@ -664,14 +664,22 @@ class VAEGANRun:
                     break
                 x = mesh_lib.shard_batch(
                     self.mesh, jnp.asarray(bx, jnp.float32))
-                recon = recon_fn(params, x)
-                # pad/crop recon back to input HW (the 14/16 rescale makes the
-                # decoder output smaller; reference pads for metric parity)
+                # reference protocol (encoder_ae.py:462-483): center-pad the
+                # input to a x28 canvas with value -1, reconstruct, then
+                # center-crop the reconstruction back to the input HW so
+                # PSNR/SSIM/FID always compare at the original size
+                h, w = x.shape[1], x.shape[2]
+                ph, pw = (-h) % 28, (-w) % 28
+                xp = x
+                if ph or pw:
+                    pt, pl = ph // 2, pw // 2
+                    xp = jnp.pad(x, ((0, 0), (pt, ph - pt), (pl, pw - pl),
+                                     (0, 0)), constant_values=-1.0)
+                recon = recon_fn(params, xp)
+                ct = (recon.shape[1] - h) // 2
+                cl = (recon.shape[2] - w) // 2
+                recon = recon[:, ct:ct + h, cl:cl + w]
                 ru8, ou8 = _uint8(recon), _uint8(x)
-                if ru8.shape[1:3] != ou8.shape[1:3]:
-                    h = min(ru8.shape[1], ou8.shape[1])
-                    w = min(ru8.shape[2], ou8.shape[2])
-                    ru8, ou8 = ru8[:, :h, :w], ou8[:, :h, :w]
                 metrics_hook.on_batch_end(ru8, ou8)
                 imlog.log_side_by_side(int(state.step), ou8, ru8)
                 if save_hook is not None:

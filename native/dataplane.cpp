@@ -210,9 +210,13 @@ bool adm_center_crop(std::vector<uint8_t>& img, int& w, int& h,
     h = nh;
   }
   // one BICUBIC resize: short side -> resolution (PIL round() semantics)
+  // Python round() is round-half-to-even (banker's rounding); std::lround
+  // rounds half away from zero, which diverges for sizes landing exactly on
+  // .5 (e.g. 509*256/512 = 254.5 -> Python 254, lround 255) and would shift
+  // the center crop. nearbyint under FE_TONEAREST matches Python exactly.
   double scale = static_cast<double>(resolution) / std::min(w, h);
-  int nw = static_cast<int>(std::lround(w * scale));
-  int nh = static_cast<int>(std::lround(h * scale));
+  int nw = static_cast<int>(std::nearbyint(w * scale));
+  int nh = static_cast<int>(std::nearbyint(h * scale));
   if (nw != w || nh != h) {
     std::vector<uint8_t> next(static_cast<size_t>(nw) * nh * 3);
     resample(img.data(), w, h, next.data(), nw, nh, kBicubic);

@@ -66,6 +66,20 @@ class TestParity:
         assert out is not None and out.shape == (128, 128, 3)
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
+    def test_adm_half_tie_rounding_matches_python(self, native):
+        # 182 * (96/128) = 136.5 exactly: Python round() (half-to-even) gives
+        # 136 while round-half-away-from-zero gives 137 — a different resize
+        # size and crop. The native path must use banker's rounding.
+        from deco_tpu.data.imagenet import adm_center_crop
+
+        jb = _jpeg(128, 182, seed=3)
+        ref = np.array(adm_center_crop(
+            Image.open(io.BytesIO(jb)).convert("RGB"), 96))
+        assert ref.shape == (96, 96, 3)
+        out = native.decode_jpeg_adm(jb, 96)
+        assert out is not None
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
     @pytest.mark.parametrize("filt,pil", [("box", Image.BOX),
                                           ("bicubic", Image.BICUBIC)])
     def test_resize_matches_pil(self, native, filt, pil):

@@ -32,61 +32,102 @@ class TestBehavior:
         assert float(pl(a, b).mean()) > 0
 
 
-class TestTorchParity:
-    def test_vgg16_converter_matches_torch(self):
-        torch = pytest.importorskip("torch")
-        torchvision = pytest.importorskip("torchvision")
-        tmodel = torchvision.models.vgg16(weights=None).features.eval()
-        sd = {f"features.{k}": v for k, v in tmodel.state_dict().items()}
-        # fake LPIPS lin heads
-        rng = np.random.RandomState(0)
-        for i, c in enumerate((64, 128, 256, 512, 512)):
-            sd[f"lin{i}.model.1.weight"] = rng.rand(1, c, 1, 1).astype(np.float32)
-        params = vgg16_params_from_torch(sd)
+class TestTorchParityNoTorchvision:
+    """Converter parity WITHOUT torchvision (absent in-image).
 
-        x = rng.randn(1, 3, 32, 32).astype(np.float32)
+    torchvision's ``vgg16().features`` / ``convnext_small()`` are exactly the
+    module graphs implied by their published configurations, so hand-built
+    plain-torch replicas reproduce them layer for layer with the same
+    state-dict keys the converters expect. (The earlier torchvision-gated
+    twins of these tests were removed: they could never run in this image and
+    were fully redundant with the replicas below.)
+    """
+
+    def test_convnext_s_converter_matches_plain_torch(self):
+        """ConvNeXt-S converter parity WITHOUT torchvision: hand-build the
+        exact torchvision.models.convnext_small module graph in plain torch
+        (stem Conv4x4+LN2d; stages of CNBlocks [dw7x7 -> LN -> 4x MLP with
+        layer_scale]; LN2d+Conv2x2 downsamples; LN2d+Linear head) so the
+        state-dict keys line up with convnext_s_params_from_torch — the
+        perceptual half of the VAE-GAN objective
+        (reference perceptual_loss.py:28) verified in-env."""
+        torch = pytest.importorskip("torch")
+
+        class Permute(torch.nn.Module):
+            def __init__(self, dims):
+                super().__init__()
+                self.dims = dims
+
+            def forward(self, x):
+                return x.permute(self.dims)
+
+        class LayerNorm2d(torch.nn.LayerNorm):
+            def forward(self, x):
+                x = x.permute(0, 2, 3, 1)
+                x = torch.nn.functional.layer_norm(
+                    x, self.normalized_shape, self.weight, self.bias, self.eps)
+                return x.permute(0, 3, 1, 2)
+
+        class CNBlock(torch.nn.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.block = torch.nn.Sequential(
+                    torch.nn.Conv2d(dim, dim, 7, padding=3, groups=dim),
+                    Permute([0, 2, 3, 1]),
+                    torch.nn.LayerNorm(dim, eps=1e-6),
+                    torch.nn.Linear(dim, 4 * dim),
+                    torch.nn.GELU(),
+                    torch.nn.Linear(4 * dim, dim),
+                    Permute([0, 3, 1, 2]),
+                )
+                self.layer_scale = torch.nn.Parameter(
+                    torch.ones(dim, 1, 1) * 1e-6)
+
+            def forward(self, x):
+                return x + self.layer_scale * self.block(x)
+
+        depths, dims = (3, 3, 27, 3), (96, 192, 384, 768)
+        feats = [torch.nn.Sequential(
+            torch.nn.Conv2d(3, dims[0], 4, stride=4),
+            LayerNorm2d(dims[0], eps=1e-6))]
+        for si, (depth, dim) in enumerate(zip(depths, dims)):
+            if si > 0:
+                feats.append(torch.nn.Sequential(
+                    LayerNorm2d(dims[si - 1], eps=1e-6),
+                    torch.nn.Conv2d(dims[si - 1], dim, 2, stride=2)))
+            feats.append(torch.nn.Sequential(
+                *[CNBlock(dim) for _ in range(depth)]))
+
+        class ConvNeXtTorch(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = torch.nn.Sequential(*feats)
+                self.avgpool = torch.nn.AdaptiveAvgPool2d(1)
+                self.classifier = torch.nn.Sequential(
+                    LayerNorm2d(dims[-1], eps=1e-6),
+                    torch.nn.Flatten(1),
+                    torch.nn.Linear(dims[-1], 1000))
+
+            def forward(self, x):
+                return self.classifier(self.avgpool(self.features(x)))
+
+        torch.manual_seed(0)
+        tmodel = ConvNeXtTorch().eval()
+        # randomize every parameter (incl. LN scales and layer_scale) so the
+        # comparison is discriminative for each converter mapping
         with torch.no_grad():
-            # torch taps: features up to relu indices 3, 8, 15, 22, 29
-            h = torch.from_numpy(x)
-            torch_taps = []
-            for idx, layer in enumerate(tmodel):
-                h = layer(h)
-                if idx in (3, 8, 15, 22, 29):
-                    torch_taps.append(h.numpy())
-        from deco_tpu.models.perceptual import VGG16Features
+            for prm in tmodel.parameters():
+                prm.copy_(torch.randn_like(prm) * 0.05)
+        params = convnext_s_params_from_torch(tmodel.state_dict())
 
-        taps = VGG16Features().apply(
-            {"params": params["params"]["vgg"]},
-            jnp.asarray(x.transpose(0, 2, 3, 1)),
-        )
-        assert len(taps) == 5
-        for jt, tt in zip(taps, torch_taps):
-            np.testing.assert_allclose(
-                np.asarray(jt).transpose(0, 3, 1, 2), tt, atol=1e-4
-            )
-
-    def test_convnext_converter_matches_torch(self):
-        torch = pytest.importorskip("torch")
-        torchvision = pytest.importorskip("torchvision")
-        tmodel = torchvision.models.convnext_small(weights=None).eval()
-        sd = tmodel.state_dict()
-        params = convnext_s_params_from_torch(sd)
         rng = np.random.RandomState(1)
         x = rng.randn(1, 3, 64, 64).astype(np.float32)
         with torch.no_grad():
             logits_t = tmodel(torch.from_numpy(x)).numpy()
-        logits_j = ConvNeXtS().apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
-        np.testing.assert_allclose(np.asarray(logits_j), logits_t, atol=2e-3)
-
-
-class TestTorchParityNoTorchvision:
-    """VGG16-LPIPS converter parity WITHOUT torchvision (absent in-image).
-
-    torchvision's ``vgg16().features`` is exactly the Sequential implied by
-    the VGG16 configuration list (conv3x3/ReLU chains with maxpools), so a
-    hand-built plain-torch Sequential reproduces it layer for layer and keys
-    line up with the converter's ``features.{i}.*`` expectations.
-    """
+        logits_j = ConvNeXtS().apply(params,
+                                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(logits_j), logits_t,
+                                   rtol=1e-3, atol=1e-5)
 
     def test_vgg16_converter_matches_plain_torch(self):
         torch = pytest.importorskip("torch")

@@ -184,6 +184,34 @@ class TestUniFlowConfigParity:
             assert getattr(cfg, k) == (int(d[k]) if k == "num_sampling_steps"
                                        else d[k]), k
 
+    def test_dcae_variant_forward_loss_and_reconstruction(self):
+        """decoder_type="dcae" composes the pixel branch through the headless
+        DC-AE decoder + a per-pixel flow head (UniFlowVisionModel_DCAE,
+        modeling_uniflow_dcae.py:1127-1186 — upstream orphan, composed here)."""
+        cfg = tiny_cfg(
+            decoder_type="dcae", latent_ch=8,
+            # up-block shortcut needs out*4 divisible by in (like Sana's)
+            dcae_block_out_channels=(16, 32),
+            dcae_layers_per_block=(1, 1),
+            dcae_attention_stages=(False, False),
+            dcae_flow_width=16, dcae_flow_depth=1,
+        )
+        model = UniFlowVision(cfg, dtype=jnp.float32)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng}, x, rng,
+                            method=model.forward_loss)
+        assert "dcae_decoder" in params["params"]
+        assert "global_blocks_0" not in params["params"]
+        losses = model.apply(params, x, jax.random.PRNGKey(1),
+                             method=model.forward_loss)
+        for k in ("flow_loss", "distill_loss", "loss"):
+            assert k in losses and np.isfinite(float(losses[k])), k
+        img = model.apply(params, x, jax.random.PRNGKey(2), mode="pixel")
+        assert img.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
     def test_unused_decoder_knobs_roundtrip(self):
         """compression_layers / num_query_per_layer (config-accepted, model-
         unused upstream) are stored and serialized back as lists."""
