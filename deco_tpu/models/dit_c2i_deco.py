@@ -56,7 +56,11 @@ def run_dit_blocks(
 
     ``remat_policy`` (only with grad_checkpoint): "full" recomputes the whole
     block in backward; "dots" saves matmul outputs and recomputes only
-    elementwise ops (``jax.checkpoint_policies.checkpoint_dots``). Measured
+    elementwise ops (``jax.checkpoint_policies.checkpoint_dots``); "attn"
+    saves ONLY the attention outputs + flash lse (checkpoint_name tags in
+    layers.sdpa / ops.flash_attention) so the backward recompute skips the
+    attention forward but re-derives everything else — the middle ground
+    between dots (too much HBM) and full (recomputes attention). Measured
     on v5e-1 (DeCo-XL 256px): dots OOMs at b24 (needs 16.8G) and at b20
     delivers 62.0 img/s vs full-remat's 65.8 at b24 — the recompute saving
     loses to reading the saved dot outputs back from HBM, so "full" stays the
@@ -72,6 +76,12 @@ def run_dit_blocks(
             cell = nn.remat(
                 cell, prevent_cse=False,
                 policy=jax.checkpoint_policies.checkpoint_dots,
+            )
+        elif remat_policy == "attn":
+            cell = nn.remat(
+                cell, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse"),
             )
         else:
             cell = nn.remat(cell, prevent_cse=False)
@@ -113,6 +123,12 @@ class DeCoC2I(nn.Module):
     # trunk remat policy when grad_checkpoint: "full" | "dots" (see
     # run_dit_blocks; the decoder always uses full per-block remat)
     trunk_remat_policy: str = "full"
+    # >1: run the per-patch pixel decoder as a lax.scan over L-chunks so the
+    # (B, L, P^2, C) per-pixel intermediates only materialize for L/chunks
+    # patches at a time (the measured 512px training HBM peak; the reference
+    # works around it with accumulate_grad_batches, configs_c2i/
+    # DeCo_XL_512.yaml:15). Chunked and unchunked share parameter paths.
+    decoder_chunks: int = 0
     align_layer: int = 0  # REPA feature tap (1-based block index); 0 = off
     # RoPE positions span [0, rope_scale] regardless of grid size (rope.py:5)
     rope_scale: float = 16.0
@@ -161,15 +177,36 @@ class DeCoC2I(nn.Module):
             self.hidden_size_x, max_freqs=self.max_freqs, dtype=self.dtype,
             name="x_embedder",
         )(x_pix)
-        out = layers.SimpleMLPAdaLN(
+        dec_fields = dict(
             model_channels=self.hidden_size_x,
             out_channels=self.in_channels,
             num_res_blocks=self.num_blocks - self.num_cond_blocks,
             patch_size=p,
             dtype=self.dtype,
-            grad_checkpoint=self.grad_checkpoint,
-            name="dec_net",
-        )(x_pix, s)
+        )
+        L = gh * gw
+        if self.decoder_chunks > 1 and L % self.decoder_chunks == 0:
+            # scan over patch chunks: each chunk's decoder internals are
+            # rematerialized in the backward, so the live per-pixel working
+            # set is one chunk (+ the saved xs), not the full L. Inner
+            # per-block remat is redundant under the whole-chunk remat.
+            k = self.decoder_chunks
+            Dec = nn.scan(
+                nn.remat(layers.SimpleMLPAdaLN, methods=["scan_body"],
+                         prevent_cse=False),
+                variable_broadcast="params", split_rngs={"params": False},
+                in_axes=1, out_axes=1, methods=["scan_body"],
+            )
+            xs = x_pix.reshape(b, k, L // k, p * p, self.hidden_size_x)
+            zs = s.reshape(b, k, L // k, self.hidden_size)
+            _, out = Dec(**dec_fields, grad_checkpoint=False,
+                         name="dec_net").scan_body(None, xs, zs)
+            out = out.reshape(b, L, p * p, self.in_channels)
+        else:
+            out = layers.SimpleMLPAdaLN(
+                **dec_fields, grad_checkpoint=self.grad_checkpoint,
+                name="dec_net",
+            )(x_pix, s)
         out = out.reshape(b, gh * gw, p * p * self.in_channels)
         img = unpatchify(out.astype(jnp.float32), gh, gw, p)
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 Dtype = Any
 
@@ -298,7 +299,10 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
     if impl == "xla":
         if mask is not None and mask.dtype != jnp.bool_:
             mask = mask.astype(jnp.bool_)
-        return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
+        out = jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
+        # tag for the selective "attn" remat policy (flash path tags inside
+        # its custom_vjp fwd, where the lse residual also gets a name)
+        return _checkpoint_name(out, "attn_out")
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
@@ -554,8 +558,18 @@ class SimpleMLPAdaLN(nn.Module):
     dtype: Dtype = jnp.bfloat16
     grad_checkpoint: bool = False
 
-    @nn.compact
     def __call__(self, x, z):
+        return self._body(x, z)
+
+    def scan_body(self, carry, x, z):
+        """(carry, x, z) adapter: lets ``nn.scan``/``nn.remat`` lift this
+        decoder over a patch-chunk axis (DeCoC2I ``decoder_chunks``) without
+        changing any parameter path — chunked and unchunked checkpoints are
+        interchangeable."""
+        return carry, self._body(x, z)
+
+    @nn.compact
+    def _body(self, x, z):
         x = nn.Dense(
             self.model_channels, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(), name="input_proj",

@@ -30,6 +30,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -287,6 +288,12 @@ def _flash_core(q, k, v, scale):
 
 def _flash_core_fwd(q, k, v, scale):
     o, lse = _flash_fwd_lse(q, k, v, scale)
+    # checkpoint_name tags let the selective "attn" remat policy
+    # (save_only_these_names — dit_c2i_deco.run_dit_blocks) keep o and lse
+    # across the backward so the flash forward is NOT rerun during block
+    # recompute; q/k/v are recomputed from the (cheap) projections instead.
+    o = _checkpoint_name(o, "attn_out")
+    lse = _checkpoint_name(lse, "attn_lse")
     return o, (q, k, v, o, lse)
 
 

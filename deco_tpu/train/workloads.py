@@ -96,12 +96,16 @@ class _TrainerSection:
 
 
 def _make_mesh(config):
-    """Mesh from config: ``mesh: {data: N}`` limits the data axis (tests use
-    data=1 to skip SPMD partitioning; default = all devices)."""
-    n = (config.get("mesh") or {}).get("data")
+    """Mesh from config: ``mesh: {data: N, model: M}`` sets the axes (tests
+    use data=1 to skip SPMD partitioning; model>1 enables fsdp-style param
+    sharding; default = all devices on the data axis)."""
+    mcfg = config.get("mesh") or {}
+    n = mcfg.get("data")
+    model = int(mcfg.get("model", 1))
     if n:
-        return mesh_lib.make_mesh(devices=jax.devices()[:int(n)])
-    return mesh_lib.make_mesh()
+        return mesh_lib.make_mesh(
+            model=model, devices=jax.devices()[:int(n) * model])
+    return mesh_lib.make_mesh(model=model)
 
 
 def _workdir(config, trainer: _TrainerSection, workdir: Optional[str],
@@ -274,11 +278,14 @@ class UniFlowRun:
         step's output shardings match its inputs — an unplaced opt_state
         forces a silent recompile on the second step (measured 140s on the
         CPU mesh)."""
+        ms = int((self.config.get("mesh") or {}).get(
+            "param_shard_min_size", 2**20))
+        sp = lambda t: mesh_lib.shard_params(self.mesh, t, min_size=ms)
         return state.replace(
-            params=mesh_lib.shard_params(self.mesh, state.params),
-            ema_params=(mesh_lib.shard_params(self.mesh, state.ema_params)
+            params=sp(state.params),
+            ema_params=(sp(state.ema_params)
                         if state.ema_params is not None else None),
-            opt_state=mesh_lib.shard_params(self.mesh, state.opt_state),
+            opt_state=sp(state.opt_state),
         )
 
     def _init_state(self, batch: int):
@@ -522,7 +529,9 @@ class VAEGANRun:
     def _place(self, state):
         """Mesh-place ALL state leaves (see UniFlowRun._place: an unplaced
         optimizer state silently recompiles the donated step)."""
-        sp = lambda t: mesh_lib.shard_params(self.mesh, t)
+        ms = int((self.config.get("mesh") or {}).get(
+            "param_shard_min_size", 2**20))
+        sp = lambda t: mesh_lib.shard_params(self.mesh, t, min_size=ms)
         return state.replace(
             gen_params=sp(state.gen_params),
             disc_params=sp(state.disc_params),

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256):
+def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256,
+         remat_policy="full", decoder_chunks=0):
     import optax
 
     from deco_tpu.diffusion.scheduling import LinearScheduler
@@ -32,6 +33,8 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256):
         hidden_size_x=64, num_blocks=22 + dec_blocks, num_cond_blocks=22,
         num_classes=1000,
         grad_checkpoint=remat,
+        trunk_remat_policy=remat_policy,
+        decoder_chunks=decoder_chunks,
     )
     trainer = DeCoTrainer(scheduler=LinearScheduler(), enable_freq_loss=True)
     rng = jax.random.PRNGKey(0)
@@ -68,7 +71,8 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256):
     remat_factor = 3.0 + (1.0 if remat else 0.0) * (dec_blocks / (22 + dec_blocks))
     train_flops = fwd * remat_factor
     mfu = batch / dt * train_flops / PEAK_FLOPS["v5e"]
-    print(f"res={res} batch={batch} remat={remat}: {dt*1e3:.1f} ms/step = "
+    print(f"res={res} batch={batch} remat={remat} policy={remat_policy} "
+          f"chunks={decoder_chunks}: {dt*1e3:.1f} ms/step = "
           f"{batch/dt:.1f} img/s  mfu={mfu:.3f}  (compile+1st {compile_s:.1f}s)")
 
 
@@ -77,4 +81,6 @@ if __name__ == "__main__":
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     d = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
-    main(b, r, dec_blocks=d, res=res)
+    pol = sys.argv[5] if len(sys.argv) > 5 else "full"
+    chunks = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    main(b, r, dec_blocks=d, res=res, remat_policy=pol, decoder_chunks=chunks)

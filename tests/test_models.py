@@ -163,6 +163,45 @@ class TestDeCoC2I:
             m1.apply(params, x, t, y), m2.apply(params, x, t, y), atol=1e-6
         )
 
+    def test_attn_remat_policy_equivalent(self):
+        """Selective remat ("attn": save attention out + flash lse via
+        checkpoint_name tags, recompute everything else) matches full remat
+        gradients exactly."""
+        m1 = _tiny_deco()
+        m2 = _tiny_deco(grad_checkpoint=True, trunk_remat_policy="attn")
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(2, 16, 16, 3), jnp.float32)
+        t, y = jnp.asarray([0.5, 0.2]), jnp.asarray([3, 1])
+        params = m1.init(jax.random.PRNGKey(0), x, t, y)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t, y) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x, t, y) ** 2))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-6), g1, g2)
+
+    def test_decoder_chunks_equivalent(self):
+        """Chunked pixel decoder (scan over L-chunks, the 512px HBM-peak fix)
+        matches unchunked bit-for-bit in forward AND gradients, off the SAME
+        param tree (paths unchanged => checkpoints interchangeable)."""
+        m1 = _tiny_deco()
+        m2 = _tiny_deco(decoder_chunks=4, grad_checkpoint=True)
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, 16, 16, 3), jnp.float32)
+        t, y = jnp.asarray([0.5, 0.2]), jnp.asarray([3, 1])
+        params = m1.init(jax.random.PRNGKey(0), x, t, y)
+        # init through the chunked path builds the identical tree
+        params2 = m2.init(jax.random.PRNGKey(0), x, t, y)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(params2)
+        np.testing.assert_allclose(
+            m1.apply(params, x, t, y), m2.apply(params, x, t, y), atol=1e-6
+        )
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t, y) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x, t, y) ** 2))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-6), g1, g2)
+
 
 class TestOtherModels:
     def test_baseline_dit(self):
