@@ -106,7 +106,10 @@ ALLOWED = {
     + _TRAINER_REPA_DEAD_ARGS
     + [".data.pred_batch_size",   # 6 measured optimal on v5e-1
        ".model.diffusion_batch_mul",
-       ".trainer.callbacks"],
+       ".trainer.callbacks",
+       # chunked pixel decoder: lifts the 512px batch envelope 8 -> 16
+       # (documented in-file; bit-equivalent to unchunked, test_models.py)
+       ".model.denoiser.init_args.decoder_chunks"],
     "configs_t2i/sft_res512.yaml": _LIGHTNING_MACHINERY
     + _TRAINER_REPA_DEAD_ARGS
     + [".data.pred_batch_size", ".data.train_batch_size",
