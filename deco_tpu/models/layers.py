@@ -278,9 +278,21 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
     - "xla": ``jax.nn.dot_product_attention``.
     - "einsum": explicit fp32-softmax reference path (used by parity tests).
     - "flash": force the Pallas kernel.
+    - "ring": context-parallel ring attention over the mesh ``model`` axis —
+      ONLY valid inside a ``shard_map`` that binds that axis with the
+      sequence sharded over it (``parallel/sp_trunk.py``); unmasked only.
     """
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
+    if impl == "ring":
+        assert mask is None, "ring attention is unmasked-only"
+        from deco_tpu.parallel.mesh import MODEL_AXIS
+        from deco_tpu.parallel.ring_attention import ring_attention_local
+
+        return ring_attention_local(
+            q, k, v, axis=MODEL_AXIS,
+            axis_size=jax.lax.axis_size(MODEL_AXIS), scale=scale,
+        )
     if impl == "auto":
         import os
 
@@ -319,6 +331,7 @@ class RAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = False
     dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "auto"  # forwarded to sdpa ("ring" = context parallel)
 
     @nn.compact
     def __call__(self, x, rope, mask=None):
@@ -330,7 +343,7 @@ class RAttention(nn.Module):
         q = RMSNorm(name="q_norm")(q)
         k = RMSNorm(name="k_norm")(k)
         q, k = apply_rope(q, k, rope)
-        out = sdpa(q, k, v, mask=mask, dtype=self.dtype)
+        out = sdpa(q, k, v, mask=mask, dtype=self.dtype, impl=self.attn_impl)
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -379,6 +392,7 @@ class FlattenDiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "auto"  # "ring" = sequence-parallel (parallel/sp_trunk)
 
     @nn.compact
     def __call__(self, x, c, rope, mask=None):
@@ -391,7 +405,8 @@ class FlattenDiTBlock(nn.Module):
         )
         h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
         x = x + gate_msa * RAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+            attn_impl=self.attn_impl,
         )(h, rope, mask)
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(

@@ -71,6 +71,39 @@ def _merge(o_a, lse_a, o_b, lse_b):
     return o.astype(o_a.dtype), m + jnp.log(denom)
 
 
+def ring_attention_local(
+    q_loc, k_loc, v_loc,
+    *,
+    axis: str = MODEL_AXIS,
+    axis_size: int,
+    scale: Optional[float] = None,
+):
+    """The per-device ring body — call this INSIDE an enclosing ``shard_map``
+    that binds ``axis`` (e.g. the sequence-parallel trunk executor). Local
+    shapes (B, N/S, H, D); DiT attention is bidirectional (no causal mask),
+    so every device attends its local queries to every rotating KV chunk —
+    no hop masking needed."""
+    if scale is None:
+        scale = 1.0 / (q_loc.shape[-1] ** 0.5)
+    b, nq, h, _ = q_loc.shape
+
+    def hop(carry, _):
+        k_cur, v_cur, o_acc, lse_acc = carry
+        o_i, lse_i = _partial_attn_xla(q_loc, k_cur, v_cur, scale)
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_nxt, v_nxt, o_acc, lse_acc), None
+
+    o0 = jnp.zeros_like(q_loc)
+    lse0 = jnp.full((b, h, nq), NEG_INF, jnp.float32)
+    (_, _, o, _), _ = jax.lax.scan(
+        hop, (k_loc, v_loc, o0, lse0), None, length=axis_size
+    )
+    return o
+
+
 def ring_attention(
     q, k, v,
     *,
@@ -82,12 +115,10 @@ def ring_attention(
     """Full (non-causal) attention with q/k/v sequence-sharded over ``seq_axis``.
 
     Inputs are (B, N, H, D) global arrays; N must divide by the axis size.
-    DiT attention is bidirectional (no causal mask), so every device attends
-    its local queries to every rotating KV chunk — no hop masking needed.
-    Returns (B, N, H, D) with the same sharding layout.
+    Returns (B, N, H, D) with the same sharding layout. This is the
+    standalone-op entry; :func:`ring_attention_local` is the same body for
+    callers already inside a ``shard_map`` (see ``parallel/sp_trunk.py``).
     """
-    if scale is None:
-        scale = 1.0 / (q.shape[-1] ** 0.5)
     n_ring = mesh.shape[seq_axis]
 
     @partial(
@@ -102,22 +133,8 @@ def ring_attention(
         check_vma=False,
     )
     def run(q_loc, k_loc, v_loc):
-        b, nq, h, _ = q_loc.shape
-
-        def hop(carry, _):
-            k_cur, v_cur, o_acc, lse_acc = carry
-            o_i, lse_i = _partial_attn_xla(q_loc, k_cur, v_cur, scale)
-            o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
-            perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
-            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
-            return (k_nxt, v_nxt, o_acc, lse_acc), None
-
-        o0 = jnp.zeros_like(q_loc)
-        lse0 = jnp.full((b, h, nq), NEG_INF, jnp.float32)
-        (_, _, o, _), _ = jax.lax.scan(
-            hop, (k_loc, v_loc, o0, lse0), None, length=n_ring
+        return ring_attention_local(
+            q_loc, k_loc, v_loc, axis=seq_axis, axis_size=n_ring, scale=scale
         )
-        return o
 
     return run(q, k, v)
