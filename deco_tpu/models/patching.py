@@ -17,6 +17,12 @@ def patchify(x, patch_size: int):
     """(B, H, W, C) -> (B, L, P*P*C), pixel-major flattening."""
     b, h, w, c = x.shape
     p = patch_size
+    if h % p or w % p:
+        raise ValueError(
+            f"image size {h}x{w} is not divisible by patch_size={p}; "
+            f"pad or resize to a multiple of {p} (serve.py rounds requested "
+            f"sizes to ÷32 for this reason)"
+        )
     gh, gw = h // p, w // p
     x = x.reshape(b, gh, p, gw, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, p, p, c)

@@ -27,6 +27,11 @@ class TestPatching:
         p = patchify(x, 2)
         np.testing.assert_allclose(p[0, 0], x.reshape(-1))
 
+    def test_non_divisible_size_raises_clearly(self):
+        x = jnp.zeros((1, 30, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="not divisible by patch_size"):
+            patchify(x, 16)
+
 
 class TestLayers:
     def test_rmsnorm_fp32_islands(self):
