@@ -208,11 +208,13 @@ class Experiment:
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else self.max_steps
 
+        from deco_tpu.utils.preemption import PreemptionGuard
+
         try:
-            with jax.set_mesh(self.mesh):
+            with jax.set_mesh(self.mesh), PreemptionGuard() as preempt:
                 for bi, (bx, by, bmeta) in enumerate(loader):
                     step = int(state.step)
-                    if step >= limit:
+                    if step >= limit or preempt.requested:
                         break
                     cond, uncond = self._condition(bx, by, bmeta)
                     batch = mesh_lib.shard_batch(self.mesh, dict(

@@ -326,11 +326,13 @@ class UniFlowRun:
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
         limit = max_steps if max_steps is not None else (
             self.trainer.max_steps or self.train_cfg.total_steps)
+        from deco_tpu.utils.preemption import PreemptionGuard
+
         try:
-            with jax.set_mesh(self.mesh):
+            with jax.set_mesh(self.mesh), PreemptionGuard() as preempt:
                 for bi, (bx, _, _) in enumerate(loader):
                     step = int(state.step)
-                    if step >= limit:
+                    if step >= limit or preempt.requested:
                         break
                     batch_d = {"x": jnp.asarray(bx, jnp.float32)}
                     if self.exp.teacher_fn is not None:
@@ -617,11 +619,13 @@ class VAEGANRun:
             self.trainer.max_steps or 200000)
         save = lambda force=False: ckpt.maybe_save_payload(
             int(state.step), self._ckpt_payload(state), force=force)
+        from deco_tpu.utils.preemption import PreemptionGuard
+
         try:
-            with jax.set_mesh(self.mesh):
+            with jax.set_mesh(self.mesh), PreemptionGuard() as preempt:
                 for bi, (bx, _, _) in enumerate(loader):
                     step = int(state.step)
-                    if step >= limit:
+                    if step >= limit or preempt.requested:
                         break
                     batch_d = mesh_lib.shard_batch(
                         self.mesh, {"x": jnp.asarray(bx, jnp.float32)})

@@ -142,6 +142,47 @@ class TestEndToEnd:
                 if f.endswith(".png")]
         assert len(pngs) > 0
 
+    def test_sigterm_preemption_checkpoints_and_exits_cleanly(
+            self, config, monkeypatch, tmp_path):
+        """First SIGTERM mid-fit -> loop breaks, final forced checkpoint
+        lands, fit returns normally (utils/preemption.PreemptionGuard; the
+        reference has no preemption handling at all, SURVEY §5)."""
+        import signal
+
+        import jax
+
+        from deco_tpu.train.loop import Experiment
+
+        cfg = dict(config)
+        cfg["tags"] = {"exp": "preempt_test"}
+        cfg["trainer"] = dict(config["trainer"],
+                              default_root_dir=str(tmp_path), max_steps=50)
+
+        from deco_tpu.train import hooks
+
+        calls = {"n": 0}
+        orig = hooks.ScalarLogger.log
+
+        def patched(self, step, metrics):
+            # ScalarLogger.log runs once per train step INSIDE the guarded
+            # loop; deliver SIGTERM synchronously on the 2nd step (handler
+            # runs immediately in the main thread — no timer races)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                signal.raise_signal(signal.SIGTERM)
+            return orig(self, step, metrics)
+
+        monkeypatch.setattr(hooks.ScalarLogger, "log", patched)
+        exp = Experiment(cfg)
+        state = exp.fit()  # must return, not die
+        assert 1 <= int(state.step) < 50
+        ckpts = os.listdir(os.path.join(exp.workdir, "checkpoints"))
+        assert len(ckpts) >= 1
+        # handler restored after the guard exits
+        assert signal.getsignal(signal.SIGTERM) in (
+            signal.SIG_DFL, signal.default_int_handler, None,
+        ) or callable(signal.getsignal(signal.SIGTERM))
+
     def test_workdir_guard(self, config):
         from deco_tpu.train.loop import Experiment
 
