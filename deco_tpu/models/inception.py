@@ -205,6 +205,24 @@ def inception_params_from_torch(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def load_inception_variables(path: str):
+    """Load tower weights: a torch state dict (.pt/.pth/.bin) converted via
+    :func:`inception_params_from_torch`, or a flax msgpack snapshot."""
+    if path.endswith((".pt", ".pth", ".bin")):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        return inception_params_from_torch(sd)
+    from flax import serialization
+
+    model = InceptionV3Features()
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def compute_fid_features(images01, variables, batch_size: int = 64):
     """Stream images through the tower -> (N, 2048) activations."""
     model = InceptionV3Features()

@@ -145,6 +145,39 @@ class TestInceptionFID:
         )
 
 
+class TestEvalFIDCLI:
+    """python -m deco_tpu.eval_fid: output.npz vs image batch OR mu/sigma
+    stats (the ADM-suite workflow closed in-framework)."""
+
+    def test_images_and_stats_references_agree(self, tmp_path):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        from deco_tpu.eval_fid import main
+
+        rng = np.random.RandomState(0)
+        gen = (rng.rand(8, 32, 32, 3) * 255).astype(np.uint8)
+        ref = (rng.rand(8, 32, 32, 3) * 255).astype(np.uint8)
+        gen_p, ref_p = str(tmp_path / "gen.npz"), str(tmp_path / "ref.npz")
+        np.savez(gen_p, arr_0=gen)
+        np.savez(ref_p, arr_0=ref)
+
+        # image-batch reference, also emitting the samples side's stats
+        stats_p = str(tmp_path / "stats.npz")
+        fid_imgs = main([gen_p, ref_p, "--stats-out", stats_p])
+        assert np.isfinite(fid_imgs)
+
+        # reuse those stats as a mu/sigma reference for the REF side: score
+        # ref vs gen-stats — FID is symmetric, so the two calls must agree
+        fid_stats = main([ref_p, stats_p])
+        np.testing.assert_allclose(fid_stats, fid_imgs, rtol=1e-4)
+
+        # self-FID via the stats path is ~0
+        self_stats = str(tmp_path / "self.npz")
+        main([gen_p, gen_p, "--stats-out", self_stats])
+        assert abs(main([gen_p, self_stats])) < 1e-3
+
+
 class TestComputeMetricsHook:
     def test_streaming_and_scores(self):
         import warnings
