@@ -120,8 +120,9 @@ class DeCoC2I(nn.Module):
     max_freqs: int = 8
     dtype: Any = jnp.bfloat16
     grad_checkpoint: bool = False
-    # trunk remat policy when grad_checkpoint: "full" | "dots" (see
-    # run_dit_blocks; the decoder always uses full per-block remat)
+    # trunk remat policy when grad_checkpoint: "full" | "dots" | "attn" |
+    # "none" (see run_dit_blocks; the decoder always uses full per-block
+    # remat)
     trunk_remat_policy: str = "full"
     # >1: run the per-patch pixel decoder as a lax.scan over L-chunks so the
     # (B, L, P^2, C) per-pixel intermediates only materialize for L/chunks
@@ -185,7 +186,14 @@ class DeCoC2I(nn.Module):
             dtype=self.dtype,
         )
         L = gh * gw
-        if self.decoder_chunks > 1 and L % self.decoder_chunks == 0:
+        if self.decoder_chunks > 1 and L % self.decoder_chunks:
+            raise ValueError(
+                f"decoder_chunks={self.decoder_chunks} does not divide the "
+                f"{gh}x{gw}={L}-patch grid; pick a divisor of L (the knob "
+                f"exists to bound the 512px+ decoder HBM peak — silently "
+                f"falling back would reintroduce the OOM it prevents)"
+            )
+        if self.decoder_chunks > 1:
             # scan over patch chunks: each chunk's decoder internals are
             # rematerialized in the backward, so the live per-pixel working
             # set is one chunk (+ the saved xs), not the full L. Inner

@@ -212,8 +212,6 @@ def load_inception_variables(path: str):
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
         return inception_params_from_torch(sd)
     from flax import serialization
 

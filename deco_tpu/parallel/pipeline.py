@@ -65,7 +65,15 @@ def pipeline_apply(
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     assert n_layers % n_stages == 0, (n_layers, n_stages)
     batch = x.shape[0]
-    assert batch % num_microbatches == 0, (batch, num_microbatches)
+    # the reshape inside shard_map splits the PER-DEVICE batch into
+    # microbatches, so that's the quantity that must divide
+    local_batch = batch // mesh.shape[batch_axis]
+    if batch % mesh.shape[batch_axis] or local_batch % num_microbatches:
+        raise ValueError(
+            f"batch {batch} over {mesh.shape[batch_axis]} data shards gives "
+            f"{local_batch} per device, not divisible into "
+            f"{num_microbatches} microbatches"
+        )
 
     in_specs = (
         jax.tree.map(lambda _: P(stage_axis), stacked_params),
@@ -100,11 +108,8 @@ def pipeline_apply(
             # input mux: stage 0 takes microbatch t (clamped; unused ticks
             # recompute mb M-1 and are masked out), others take the ring
             mb_idx = jnp.clip(t, 0, M - 1)
-            fresh = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0, False),
-                (x_mb,) + mb_mb,
-            )
-            inp = jnp.where(stage == 0, fresh[0], ring)
+            fresh = jax.lax.dynamic_index_in_dim(x_mb, mb_idx, 0, False)
+            inp = jnp.where(stage == 0, fresh, ring)
             # per-microbatch extras must track the microbatch each stage is
             # working on: stage s at tick t holds microbatch t - s
             own_idx = jnp.clip(t - stage, 0, M - 1)

@@ -678,11 +678,14 @@ class VAEGANRun:
                 x = mesh_lib.shard_batch(
                     self.mesh, jnp.asarray(bx, jnp.float32))
                 # reference protocol (encoder_ae.py:462-483): center-pad the
-                # input to a x28 canvas with value -1, reconstruct, then
-                # center-crop the reconstruction back to the input HW so
-                # PSNR/SSIM/FID always compare at the original size
+                # input to a 2*patch canvas (28 for the shipped patch-14 ViT)
+                # with value -1, reconstruct, then center-crop the
+                # reconstruction back to the input HW so PSNR/SSIM/FID always
+                # compare at the original size
+                mult = 2 * getattr(getattr(self.vae, "vit", None),
+                                   "patch_size", 14)
                 h, w = x.shape[1], x.shape[2]
-                ph, pw = (-h) % 28, (-w) % 28
+                ph, pw = (-h) % mult, (-w) % mult
                 xp = x
                 if ph or pw:
                     pt, pl = ph // 2, pw // 2
