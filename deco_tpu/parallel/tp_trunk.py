@@ -1,0 +1,156 @@
+"""Tensor-parallel trunk execution (Megatron-style, explicit collectives).
+
+Completes the parallelism menu (DP + fsdp + PP + SP/ring): the DiT block's
+two big matmul chains split over the mesh's ``model`` axis WITHOUT changing
+the checkpoint layout — the executor reshapes the fused qkv kernel
+``(c, 3c) -> (c, 3, H, hd)`` and the out-projection ``(c, c) -> (H, hd, c)``
+to expose the head axis, shards heads / MLP width via ``shard_map`` in_specs,
+and inserts the two canonical ``psum`` all-reduces per block (after the
+attention out-projection and after the SwiGLU down-projection). Activations
+stay replicated across the tp group; small ops (adaLN modulation, RMSNorm,
+residuals) are computed redundantly per device — the Megatron trade.
+
+Param tree is the SAME stacked ``blocks/block`` subtree the sequential scan
+and the pipeline/SP executors use; the block math below mirrors
+``layers.FlattenDiTBlock`` exactly (equality-tested, fwd + grad).
+
+When to use which (PARITY §2.10): fsdp for parameter capacity, SP/ring for
+sequence length, PP for depth; TP trades two all-reduces per block for
+per-device matmul width — on ICI it is the right axis when batch*seq is too
+small to saturate the MXU per device but heads are plentiful.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from deco_tpu.models.layers import apply_rope, modulate
+from deco_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _rmsnorm(x, weight, eps=1e-6):
+    """layers.RMSNorm semantics: fp32 internals, input-dtype output."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf ** 2, axis=-1, keepdims=True)
+    return (weight * (xf * jax.lax.rsqrt(var + eps))).astype(dt)
+
+
+def tensor_parallel_trunk(
+    stacked_params: Any,
+    x: jax.Array,
+    c: jax.Array,
+    rope,
+    *,
+    mesh: jax.sharding.Mesh,
+    num_heads: int,
+    dtype: Any = jnp.bfloat16,
+    remat: bool = True,
+    tp_axis: str = MODEL_AXIS,
+    batch_axis: str = DATA_AXIS,
+):
+    """Run the stacked DiT blocks tensor-parallel over ``tp_axis``.
+
+    ``stacked_params``: the ``blocks/block`` subtree (layer axis leading).
+    ``x``: (B, N, hidden); ``c``: (B, 1, hidden); ``rope``: (cos, sin).
+    Heads and the SwiGLU width must divide the axis size. Returns (B, N,
+    hidden), replicated over ``tp_axis``, batch over ``batch_axis``.
+    """
+    S = mesh.shape[tp_axis]
+    p = stacked_params
+    L, hidden, three_c = p["attn"]["qkv"]["kernel"].shape
+    hd = hidden // num_heads
+    m = p["mlp"]["w1"]["kernel"].shape[-1]
+    if num_heads % S or m % S:
+        raise ValueError(
+            f"tensor parallelism over {S} devices needs heads ({num_heads}) "
+            f"and SwiGLU width ({m}) divisible by the axis size"
+        )
+
+    # expose the shardable axes without touching the checkpoint layout
+    arrs = {
+        "qkv_k": p["attn"]["qkv"]["kernel"].reshape(L, hidden, 3, num_heads, hd),
+        "proj_k": p["attn"]["proj"]["kernel"].reshape(L, num_heads, hd, hidden),
+        "proj_b": p["attn"]["proj"]["bias"],
+        "qn_w": p["attn"]["q_norm"]["weight"],
+        "kn_w": p["attn"]["k_norm"]["weight"],
+        "n1_w": p["norm1"]["weight"],
+        "n2_w": p["norm2"]["weight"],
+        "ada_k": p["adaLN_modulation"]["kernel"],
+        "ada_b": p["adaLN_modulation"]["bias"],
+        "w1_k": p["mlp"]["w1"]["kernel"],
+        "w3_k": p["mlp"]["w3"]["kernel"],
+        "w2_k": p["mlp"]["w2"]["kernel"],
+    }
+    specs = {
+        "qkv_k": P(None, None, None, tp_axis, None),
+        "proj_k": P(None, tp_axis, None, None),
+        "proj_b": P(),
+        "qn_w": P(), "kn_w": P(), "n1_w": P(), "n2_w": P(),
+        "ada_k": P(), "ada_b": P(),
+        "w1_k": P(None, None, tp_axis),
+        "w3_k": P(None, None, tp_axis),
+        "w2_k": P(None, tp_axis, None),
+    }
+
+    def block(xx, q, c_loc, rope_loc):
+        dt = dtype
+        mod = (c_loc.astype(dt) @ q["ada_k"].astype(dt)
+               ) + q["ada_b"].astype(dt)
+        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp) = jnp.split(
+            mod, 6, axis=-1)
+
+        # --- attention (local heads) ---
+        h = modulate(_rmsnorm(xx, q["n1_w"]), sh_msa, sc_msa)
+        qkv = jnp.einsum("bnc,cthd->bnthd", h.astype(dt),
+                         q["qkv_k"].astype(dt))
+        qh, kh, vh = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qh = _rmsnorm(qh, q["qn_w"])
+        kh = _rmsnorm(kh, q["kn_w"])
+        qh, kh = apply_rope(qh, kh, rope_loc)
+        scale = 1.0 / (hd ** 0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        part = jnp.einsum("bnhd,hdc->bnc", attn.astype(dt),
+                          q["proj_k"].astype(dt))
+        attn_out = jax.lax.psum(part, tp_axis) + q["proj_b"].astype(dt)
+        xx = xx + g_msa * attn_out
+
+        # --- SwiGLU (local width) ---
+        h2 = modulate(_rmsnorm(xx, q["n2_w"]), sh_mlp, sc_mlp)
+        a = h2.astype(dt) @ q["w1_k"].astype(dt)
+        b3 = h2.astype(dt) @ q["w3_k"].astype(dt)
+        part = (jax.nn.silu(a) * b3) @ q["w2_k"].astype(dt)
+        mlp_out = jax.lax.psum(part, tp_axis)
+        return xx + g_mlp * mlp_out
+
+    if remat:
+        block = jax.checkpoint(block, prevent_cse=False)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            {k: specs[k] for k in arrs},
+            P(batch_axis, None, None),
+            P(batch_axis, None, None),
+            jax.tree.map(lambda _: P(), rope),
+        ),
+        out_specs=P(batch_axis, None, None),
+        check_vma=False,
+    )
+    def run(q_local, x_loc, c_loc, rope_loc):
+        def body(xx, q1):
+            return block(xx, q1, c_loc, rope_loc), None
+
+        out, _ = jax.lax.scan(body, x_loc, q_local)
+        return out
+
+    return run(arrs, x, c, rope)
