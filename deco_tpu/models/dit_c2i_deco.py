@@ -133,6 +133,16 @@ class DeCoC2I(nn.Module):
     align_layer: int = 0  # REPA feature tap (1-based block index); 0 = off
     # RoPE positions span [0, rope_scale] regardless of grid size (rope.py:5)
     rope_scale: float = 16.0
+    # Run the cond-block trunk under a parallel executor over the mesh's
+    # `model` axis: "none" (sequential nn.scan), "sp" (sequence-parallel:
+    # activations sharded over tokens, ring attention —
+    # parallel/sp_trunk.py), "tp" (Megatron-style: heads + SwiGLU width
+    # sharded, two psums per block — parallel/tp_trunk.py). The executors
+    # resolve the ambient jax.set_mesh mesh (the Experiment loops establish
+    # one; config: set `mesh_model_axis` > 1 and `model.trunk_parallel`).
+    # Init always builds params via the sequential path, so checkpoints are
+    # layout-identical across modes.
+    trunk_parallel: str = "none"
 
     @nn.compact
     def __call__(self, x, t, y, s=None, mask=None, return_s: bool = False,
@@ -160,16 +170,52 @@ class DeCoC2I(nn.Module):
             s = layers.Embed(
                 self.hidden_size, dtype=self.dtype, name="s_embedder"
             )(x_patches)
-            s, feat = run_dit_blocks(
-                s, c, rope, mask,
-                num_blocks=self.num_cond_blocks,
-                num_heads=self.num_groups,
-                dtype=self.dtype,
-                grad_checkpoint=self.grad_checkpoint,
-                align_layer=self.align_layer if return_features else 0,
-                name="blocks",
-                remat_policy=self.trunk_remat_policy,
-            )
+            if self.trunk_parallel not in ("none", "sp", "tp"):
+                raise ValueError(
+                    f"trunk_parallel={self.trunk_parallel!r}: expected "
+                    "'none', 'sp', or 'tp'"
+                )
+            if self.trunk_parallel != "none" and not self.is_initializing():
+                # Bound-apply path only: params were created (sequential
+                # layout) at init; read the stacked blocks/block subtree and
+                # hand it to the shard_map executor. Gradients flow through
+                # self.variables as through any other param use.
+                if return_features and self.align_layer:
+                    raise ValueError(
+                        "the REPA feature tap is not available under "
+                        "trunk_parallel (the executors do not carry the "
+                        "per-layer tap); train REPA with the sequential "
+                        "trunk"
+                    )
+                if mask is not None:
+                    raise ValueError(
+                        "trunk_parallel executors are unmasked (ring/TP "
+                        "attention); c2i never passes a mask"
+                    )
+                from deco_tpu.parallel import sp_trunk, tp_trunk
+
+                stacked = self.variables["params"]["blocks"]["block"]
+                if self.trunk_parallel == "sp":
+                    s = sp_trunk.sequence_parallel_trunk(
+                        stacked, s, c, rope, num_heads=self.num_groups,
+                        dtype=self.dtype, remat=self.grad_checkpoint,
+                    )
+                else:
+                    s = tp_trunk.tensor_parallel_trunk(
+                        stacked, s, c, rope, num_heads=self.num_groups,
+                        dtype=self.dtype, remat=self.grad_checkpoint,
+                    )
+            else:
+                s, feat = run_dit_blocks(
+                    s, c, rope, mask,
+                    num_blocks=self.num_cond_blocks,
+                    num_heads=self.num_groups,
+                    dtype=self.dtype,
+                    grad_checkpoint=self.grad_checkpoint,
+                    align_layer=self.align_layer if return_features else 0,
+                    name="blocks",
+                    remat_policy=self.trunk_remat_policy,
+                )
             s = nn.silu(t_emb + s)
 
         # ---- per-patch pixel decoder ----

@@ -45,6 +45,23 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def ambient_mesh():
+    """The mesh from the innermost ``jax.set_mesh`` context.
+
+    The SP/TP trunk executors accept ``mesh=None`` and resolve it here, so
+    the model-level ``trunk_parallel`` knob works inside a Flax ``__call__``
+    without threading a Mesh through module attributes — the train/predict
+    loops already run under ``jax.set_mesh(self.mesh)``.
+    """
+    m = jax.sharding.get_abstract_mesh()
+    if m is None or not m.shape:
+        raise RuntimeError(
+            "no ambient mesh — wrap the call in jax.set_mesh(mesh) (the "
+            "Experiment loops do) or pass mesh= explicitly"
+        )
+    return m
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding over the data axis (the DP input layout)."""
     return NamedSharding(mesh, P(DATA_AXIS))

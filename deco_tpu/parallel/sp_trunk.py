@@ -21,7 +21,7 @@ Per-block remat: each block application is wrapped in ``jax.checkpoint``
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ def sequence_parallel_trunk(
     c: jax.Array,
     rope,
     *,
-    mesh: jax.sharding.Mesh,
+    mesh: Optional[jax.sharding.Mesh] = None,
     num_heads: int,
     mlp_ratio: float = 4.0,
     dtype: Any = jnp.bfloat16,
@@ -53,6 +53,11 @@ def sequence_parallel_trunk(
     ``rope``: (cos, sin) tables of length N (sharded over ``seq_axis`` with
     the tokens). Returns (B, N, H) in the same layout as the sequential
     trunk.
+
+    ``mesh=None`` uses the ambient mesh from an enclosing ``jax.set_mesh``
+    context (the train/predict loops establish one) — this is how the
+    model-level ``DeCoC2I(trunk_parallel="sp")`` knob reaches the executor
+    from inside a Flax ``__call__``.
     """
     block = layers.FlattenDiTBlock(
         num_heads=num_heads, mlp_ratio=mlp_ratio, dtype=dtype,
@@ -65,9 +70,10 @@ def sequence_parallel_trunk(
     if remat:
         one = jax.checkpoint(one, prevent_cse=False)
 
+    mesh_kw = {} if mesh is None else {"mesh": mesh}
+
     @partial(
         jax.shard_map,
-        mesh=mesh,
         in_specs=(
             jax.tree.map(lambda _: P(), stacked_params),
             P(batch_axis, seq_axis, None),
@@ -76,6 +82,7 @@ def sequence_parallel_trunk(
         ),
         out_specs=P(batch_axis, seq_axis, None),
         check_vma=False,
+        **mesh_kw,
     )
     def run(params, x_loc, c_loc, rope_loc):
         def body(xx, p1):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from deco_tpu.models.layers import apply_rope, modulate
-from deco_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from deco_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, ambient_mesh
 
 
 def _rmsnorm(x, weight, eps=1e-6):
@@ -47,7 +47,7 @@ def tensor_parallel_trunk(
     c: jax.Array,
     rope,
     *,
-    mesh: jax.sharding.Mesh,
+    mesh=None,
     num_heads: int,
     dtype: Any = jnp.bfloat16,
     remat: bool = True,
@@ -60,8 +60,11 @@ def tensor_parallel_trunk(
     ``x``: (B, N, hidden); ``c``: (B, 1, hidden); ``rope``: (cos, sin).
     Heads and the SwiGLU width must divide the axis size. Returns (B, N,
     hidden), replicated over ``tp_axis``, batch over ``batch_axis``.
+    ``mesh=None`` resolves the ambient ``jax.set_mesh`` mesh (the
+    ``DeCoC2I(trunk_parallel="tp")`` path).
     """
-    S = mesh.shape[tp_axis]
+    mesh_kw = {} if mesh is None else {"mesh": mesh}
+    S = (ambient_mesh() if mesh is None else mesh).shape[tp_axis]
     p = stacked_params
     L, hidden, three_c = p["attn"]["qkv"]["kernel"].shape
     hd = hidden // num_heads
@@ -136,7 +139,7 @@ def tensor_parallel_trunk(
 
     @partial(
         jax.shard_map,
-        mesh=mesh,
+        **mesh_kw,
         in_specs=(
             {k: specs[k] for k in arrs},
             P(batch_axis, None, None),

@@ -1,0 +1,137 @@
+"""Model-level trunk_parallel knob: DeCoC2I runs its cond-block trunk under
+the SP (sequence-parallel + ring attention) or TP (Megatron-style) executor.
+
+The raw executors are equality-tested in test_sp_trunk.py / test_tp_trunk.py;
+this file proves the USER-FACING integration — `DeCoC2I(trunk_parallel=...)`
+under the ambient `jax.set_mesh` mesh (exactly how the Experiment loops run,
+train/loop.py) — matches the sequential model bit-for-bit on fwd + grad and
+composes with the full jitted train step on fsdp-sharded state. No reference
+counterpart (upstream is DP-only, SURVEY §2.10).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deco_tpu.diffusion.scheduling import LinearScheduler
+from deco_tpu.diffusion.training import DeCoTrainer
+from deco_tpu.models.dit_c2i_deco import DeCoC2I
+from deco_tpu.parallel import mesh as mesh_lib
+from deco_tpu.train.state import TrainState
+from deco_tpu.train.train_step import make_train_step
+
+# hidden=48 / heads=4: SwiGLU width int(2*4*48/3)=128 divides the 4-way
+# model axis; 32px / patch 4 -> 64 tokens divide it too.
+KW = dict(in_channels=3, patch_size=4, num_groups=4, hidden_size=48,
+          hidden_size_x=16, num_blocks=4, num_cond_blocks=2, num_classes=10,
+          dtype=jnp.float32)
+
+
+def _data(batch=4):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 32, 32, 3), jnp.float32)
+    t = jnp.asarray(rng.rand(batch), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 10, batch), jnp.int32)
+    return x, t, y
+
+
+@pytest.fixture(scope="module")
+def base():
+    x, t, y = _data()
+    model = DeCoC2I(**KW)
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    return model, params, (x, t, y)
+
+
+@pytest.mark.parametrize("mode", ["sp", "tp"])
+def test_forward_and_grad_match_sequential(base, mode):
+    model, params, (x, t, y) = base
+    ref = model.apply(params, x, t, y)
+
+    def loss_ref(p):
+        return jnp.sum(model.apply(p, x, t, y) ** 2)
+
+    gref = jax.jit(jax.grad(loss_ref))(params)
+
+    par = DeCoC2I(**KW, trunk_parallel=mode)
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p: par.apply(p, x, t, y))(params)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        def loss(p):
+            return jnp.sum(par.apply(p, x, t, y) ** 2)
+
+        g = jax.jit(jax.grad(loss))(params)
+    err = max(jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g, gref)))
+    assert err < 1e-4, f"{mode} grad mismatch {err}"
+
+
+def test_sp_remat_train_path(base):
+    """grad_checkpoint=True (the training posture) under the SP executor."""
+    model, params, (x, t, y) = base
+
+    def loss_ref(p):
+        return jnp.sum(model.apply(p, x, t, y) ** 2)
+
+    gref = jax.jit(jax.grad(loss_ref))(params)
+    par = DeCoC2I(**{**KW, "grad_checkpoint": True}, trunk_parallel="sp")
+    mesh = mesh_lib.make_mesh(data=1, model=8)
+    with jax.set_mesh(mesh):
+        g = jax.jit(jax.grad(lambda p: jnp.sum(par.apply(p, x, t, y) ** 2)))(
+            params)
+    err = max(jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g, gref)))
+    assert err < 1e-4
+
+
+def test_full_train_step_on_sharded_state(base):
+    """The jitted DeCoTrainer step with trunk_parallel='sp' on fsdp-sharded
+    state matches the sequential step's loss (same rng, same batch)."""
+    _, params, (x, t, y) = base
+    trainer = DeCoTrainer(scheduler=LinearScheduler(), lognorm_t=True,
+                          null_condition_p=0.0)
+    tx = optax.adamw(1e-4, weight_decay=0.0)
+    batch = dict(x=x, condition=y, uncondition=jnp.full_like(y, 10))
+    rng = jax.random.PRNGKey(7)
+
+    seq_model = DeCoC2I(**KW)
+    seq_step = make_train_step(
+        lambda p, xt, tt, yy: seq_model.apply(p, xt, tt, yy), trainer,
+        donate=False)
+    _, m_seq = seq_step(TrainState.create(params, tx), batch, rng)
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    par_model = DeCoC2I(**KW, trunk_parallel="sp")
+    par_step = make_train_step(
+        lambda p, xt, tt, yy: par_model.apply(p, xt, tt, yy), trainer,
+        donate=False)
+    state = TrainState.create(params, tx)
+    state = state.replace(
+        params=mesh_lib.shard_params(mesh, state.params, min_size=2**10),
+        ema_params=mesh_lib.shard_params(mesh, state.ema_params,
+                                         min_size=2**10),
+    )
+    sbatch = mesh_lib.shard_batch(mesh, batch)
+    with jax.set_mesh(mesh):
+        _, m_par = par_step(state, sbatch, rng)
+    np.testing.assert_allclose(float(m_par["loss"]), float(m_seq["loss"]),
+                               rtol=1e-4)
+
+
+def test_error_paths(base):
+    model, params, (x, t, y) = base
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    with pytest.raises(ValueError, match="trunk_parallel"):
+        DeCoC2I(**KW, trunk_parallel="pp").apply(params, x, t, y)
+    repa = DeCoC2I(**{**KW, "align_layer": 1}, trunk_parallel="sp")
+    with jax.set_mesh(mesh):
+        with pytest.raises(ValueError, match="REPA"):
+            repa.apply(params, x, t, y, return_features=True)
+    # no ambient mesh and no explicit mesh -> friendly error
+    with pytest.raises(Exception, match="mesh"):
+        DeCoC2I(**KW, trunk_parallel="sp").apply(params, x, t, y)
