@@ -117,6 +117,12 @@ class _T2ITrunk(nn.Module):
     grad_checkpoint: bool = False
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
+    # "sp": run the joint-attention encoder blocks sequence-parallel over the
+    # mesh `model` axis (image tokens sharded, text KV replicated — see
+    # parallel/sp_trunk.sequence_parallel_joint_trunk). Same contract as the
+    # c2i knob (dit_c2i_deco.DeCoC2I.trunk_parallel): init always builds the
+    # sequential layout; the executor resolves the ambient jax.set_mesh mesh.
+    trunk_parallel: str = "none"
 
     @nn.compact
     def __call__(self, x_patches, t, y, gh, gw, return_features=False):
@@ -160,21 +166,47 @@ class _T2ITrunk(nn.Module):
         s = layers.Embed(self.hidden_size, dtype=self.dtype, name="s_embedder")(
             x_patches
         )
-        scanned = nn.scan(
-            joint_cell,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            length=self.num_encoder_blocks,
-            metadata_params={nn.meta.PARTITION_NAME: None},
-        )(
-            num_heads=self.num_groups, dtype=self.dtype,
-            align_layer=self.align_layer if return_features else 0,
-            name="blocks",
-        )
-        (s, feat, _), _ = scanned(
-            (s, jnp.zeros_like(s), jnp.int32(0)), y_emb, condition, rope
-        )
+        if self.trunk_parallel not in ("none", "sp"):
+            raise ValueError(
+                f"trunk_parallel={self.trunk_parallel!r}: the t2i joint trunk "
+                "supports 'none' or 'sp' (ring attention with replicated "
+                "text KV)"
+            )
+        if self.trunk_parallel == "sp" and not self.is_initializing():
+            # Bound-apply only: params exist in the sequential nn.scan layout
+            # (init always takes the else branch), so checkpoints are
+            # identical across modes — same contract as the c2i knob.
+            if return_features and self.align_layer:
+                raise ValueError(
+                    "the REPA feature tap is not available under "
+                    "trunk_parallel; train alignment with the sequential "
+                    "trunk"
+                )
+            from deco_tpu.parallel import sp_trunk
+
+            stacked = self.variables["params"]["blocks"]["block"]
+            s = sp_trunk.sequence_parallel_joint_trunk(
+                stacked, s, y_emb, condition, rope,
+                num_heads=self.num_groups, dtype=self.dtype,
+                remat=self.grad_checkpoint,
+            )
+            feat = jnp.zeros_like(s)
+        else:
+            scanned = nn.scan(
+                joint_cell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.num_encoder_blocks,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(
+                num_heads=self.num_groups, dtype=self.dtype,
+                align_layer=self.align_layer if return_features else 0,
+                name="blocks",
+            )
+            (s, feat, _), _ = scanned(
+                (s, jnp.zeros_like(s), jnp.int32(0)), y_emb, condition, rope
+            )
         s = nn.silu(t_emb + s)
         return s, feat
 
@@ -198,6 +230,7 @@ class PixNerdT2I(nn.Module):
     grad_checkpoint: bool = False
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
+    trunk_parallel: str = "none"  # "sp": sequence-parallel joint trunk
 
     @nn.compact
     def __call__(self, x, t, y, return_features: bool = False):
@@ -213,7 +246,8 @@ class PixNerdT2I(nn.Module):
             txt_embed_dim=self.txt_embed_dim, txt_max_length=self.txt_max_length,
             dtype=self.dtype, grad_checkpoint=self.grad_checkpoint,
             align_layer=self.align_layer,
-            patch_scaling_hw=self.patch_scaling_hw, name="trunk",
+            patch_scaling_hw=self.patch_scaling_hw,
+            trunk_parallel=self.trunk_parallel, name="trunk",
         )(x_patches, t, y, gh, gw, return_features)
 
         x_pix = x_patches.reshape(b, gh * gw, p * p, self.in_channels)
@@ -262,6 +296,7 @@ class DeCoT2I(nn.Module):
     grad_checkpoint: bool = False
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
+    trunk_parallel: str = "none"  # "sp": sequence-parallel joint trunk
 
     @nn.compact
     def __call__(self, x, t, y, return_features: bool = False):
@@ -277,7 +312,8 @@ class DeCoT2I(nn.Module):
             txt_embed_dim=self.txt_embed_dim, txt_max_length=self.txt_max_length,
             dtype=self.dtype, grad_checkpoint=self.grad_checkpoint,
             align_layer=self.align_layer,
-            patch_scaling_hw=self.patch_scaling_hw, name="trunk",
+            patch_scaling_hw=self.patch_scaling_hw,
+            trunk_parallel=self.trunk_parallel, name="trunk",
         )(x_patches, t, y, gh, gw, return_features)
 
         x_pix = x_patches.reshape(b, gh * gw, p * p, self.in_channels)

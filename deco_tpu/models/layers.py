@@ -354,11 +354,18 @@ class JointAttention(nn.Module):
     Reference ``src/models/transformer/dit_t2i_pixnerd.py:16-63`` — the t2i
     encoder block's attention: q from image tokens, k/v from both image tokens
     (RoPE'd) and text tokens (no RoPE), with shared k-RMSNorm.
+
+    ``attn_impl="ring"``: context-parallel — only valid inside a shard_map
+    binding the ``model`` axis with IMAGE tokens sequence-sharded over it and
+    text tokens replicated (``parallel/sp_trunk.sequence_parallel_joint_trunk``).
+    Image KV rides the ring; text KV seeds the (o, lse) accumulator on every
+    device.
     """
 
     num_heads: int
     qkv_bias: bool = False
     dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, y, rope):
@@ -379,9 +386,19 @@ class JointAttention(nn.Module):
         ky, vy = kv_y[:, :, 0], kv_y[:, :, 1]
         ky = k_norm(ky)
 
-        k = jnp.concatenate([kx, ky], axis=1)
-        v = jnp.concatenate([vx, vy], axis=1)
-        out = sdpa(q, k, v, dtype=self.dtype)
+        if self.attn_impl == "ring":
+            from deco_tpu.parallel.mesh import MODEL_AXIS
+            from deco_tpu.parallel.ring_attention import ring_attention_local
+
+            out = ring_attention_local(
+                q, kx, vx, axis=MODEL_AXIS,
+                axis_size=jax.lax.axis_size(MODEL_AXIS),
+                scale=1.0 / (head_dim ** 0.5), extra_kv=(ky, vy),
+            )
+        else:
+            k = jnp.concatenate([kx, ky], axis=1)
+            v = jnp.concatenate([vx, vy], axis=1)
+            out = sdpa(q, k, v, dtype=self.dtype, impl=self.attn_impl)
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -421,6 +438,7 @@ class JointDiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "auto"  # "ring" = sequence-parallel (sp_trunk joint)
 
     @nn.compact
     def __call__(self, x, y, c, rope):
@@ -431,7 +449,8 @@ class JointDiTBlock(nn.Module):
         )
         h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
         x = x + gate_msa * JointAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+            attn_impl=self.attn_impl,
         )(h, y, rope)
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(

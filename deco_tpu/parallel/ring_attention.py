@@ -77,12 +77,20 @@ def ring_attention_local(
     axis: str = MODEL_AXIS,
     axis_size: int,
     scale: Optional[float] = None,
+    extra_kv=None,
 ):
     """The per-device ring body — call this INSIDE an enclosing ``shard_map``
     that binds ``axis`` (e.g. the sequence-parallel trunk executor). Local
     shapes (B, N/S, H, D); DiT attention is bidirectional (no causal mask),
     so every device attends its local queries to every rotating KV chunk —
-    no hop masking needed."""
+    no hop masking needed.
+
+    ``extra_kv``: optional (k, v) of REPLICATED tokens every query also
+    attends to, outside the ring — the t2i joint-attention case, where text
+    KV lives on every device while image KV rotates
+    (:class:`deco_tpu.models.layers.JointAttention` with ``attn_impl="ring"``).
+    The accumulator is seeded with the extra-KV partial and the hops merge
+    into it via the (o, lse) rule."""
     if scale is None:
         scale = 1.0 / (q_loc.shape[-1] ** 0.5)
     b, nq, h, _ = q_loc.shape
@@ -96,8 +104,11 @@ def ring_attention_local(
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
         return (k_nxt, v_nxt, o_acc, lse_acc), None
 
-    o0 = jnp.zeros_like(q_loc)
-    lse0 = jnp.full((b, h, nq), NEG_INF, jnp.float32)
+    if extra_kv is not None:
+        o0, lse0 = _partial_attn_xla(q_loc, extra_kv[0], extra_kv[1], scale)
+    else:
+        o0 = jnp.zeros_like(q_loc)
+        lse0 = jnp.full((b, h, nq), NEG_INF, jnp.float32)
     (_, _, o, _), _ = jax.lax.scan(
         hop, (k_loc, v_loc, o0, lse0), None, length=axis_size
     )

@@ -92,3 +92,67 @@ def sequence_parallel_trunk(
         return out
 
     return run(stacked_params, x, c, rope)
+
+
+def sequence_parallel_joint_trunk(
+    stacked_params: Any,
+    x: jax.Array,
+    y: jax.Array,
+    c: jax.Array,
+    rope,
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    num_heads: int,
+    mlp_ratio: float = 4.0,
+    dtype: Any = jnp.bfloat16,
+    remat: bool = True,
+    seq_axis: str = MODEL_AXIS,
+    batch_axis: str = DATA_AXIS,
+):
+    """Sequence-parallel executor for the t2i JOINT-attention trunk.
+
+    Same contract as :func:`sequence_parallel_trunk` but for stacked
+    :class:`deco_tpu.models.layers.JointDiTBlock` params (the t2i encoder,
+    reference ``src/models/transformer/dit_t2i_pixnerd.py:201-310``): IMAGE
+    tokens ``x`` (B, N, H) are sharded over ``seq_axis`` and their KV rides
+    the ring, while TEXT tokens ``y`` (B, M, H) are replicated on every
+    device and seed each ring accumulator via the flash (o, lse) merge
+    (``ring_attention_local(extra_kv=...)``) — the text sequence is short
+    (≤128) so replicating its KV costs nothing, and no device ever holds the
+    full image-image score matrix. ``rope`` covers the N image positions
+    only (text KV is un-RoPE'd, matching the sequential block).
+    """
+    block = layers.JointDiTBlock(
+        num_heads=num_heads, mlp_ratio=mlp_ratio, dtype=dtype,
+        attn_impl="ring",
+    )
+
+    def one(xx, p1, y_loc, c_loc, rope_loc):
+        return block.apply({"params": p1}, xx, y_loc, c_loc, rope_loc)
+
+    if remat:
+        one = jax.checkpoint(one, prevent_cse=False)
+
+    mesh_kw = {} if mesh is None else {"mesh": mesh}
+
+    @partial(
+        jax.shard_map,
+        in_specs=(
+            jax.tree.map(lambda _: P(), stacked_params),
+            P(batch_axis, seq_axis, None),
+            P(batch_axis, None, None),
+            P(batch_axis, None, None),
+            jax.tree.map(lambda _: P(seq_axis, None), rope),
+        ),
+        out_specs=P(batch_axis, seq_axis, None),
+        check_vma=False,
+        **mesh_kw,
+    )
+    def run(params, x_loc, y_loc, c_loc, rope_loc):
+        def body(xx, p1):
+            return one(xx, p1, y_loc, c_loc, rope_loc), None
+
+        out, _ = jax.lax.scan(body, x_loc, params)
+        return out
+
+    return run(stacked_params, x, y, c, rope)
