@@ -166,13 +166,13 @@ class _T2ITrunk(nn.Module):
         s = layers.Embed(self.hidden_size, dtype=self.dtype, name="s_embedder")(
             x_patches
         )
-        if self.trunk_parallel not in ("none", "sp"):
+        if self.trunk_parallel not in ("none", "sp", "tp"):
             raise ValueError(
                 f"trunk_parallel={self.trunk_parallel!r}: the t2i joint trunk "
-                "supports 'none' or 'sp' (ring attention with replicated "
-                "text KV)"
+                "supports 'none', 'sp' (ring attention with replicated text "
+                "KV), or 'tp' (Megatron head/width split)"
             )
-        if self.trunk_parallel == "sp" and not self.is_initializing():
+        if self.trunk_parallel != "none" and not self.is_initializing():
             # Bound-apply only: params exist in the sequential nn.scan layout
             # (init always takes the else branch), so checkpoints are
             # identical across modes — same contract as the c2i knob.
@@ -182,14 +182,21 @@ class _T2ITrunk(nn.Module):
                     "trunk_parallel; train alignment with the sequential "
                     "trunk"
                 )
-            from deco_tpu.parallel import sp_trunk
+            from deco_tpu.parallel import sp_trunk, tp_trunk
 
             stacked = self.variables["params"]["blocks"]["block"]
-            s = sp_trunk.sequence_parallel_joint_trunk(
-                stacked, s, y_emb, condition, rope,
-                num_heads=self.num_groups, dtype=self.dtype,
-                remat=self.grad_checkpoint,
-            )
+            if self.trunk_parallel == "sp":
+                s = sp_trunk.sequence_parallel_joint_trunk(
+                    stacked, s, y_emb, condition, rope,
+                    num_heads=self.num_groups, dtype=self.dtype,
+                    remat=self.grad_checkpoint,
+                )
+            else:
+                s = tp_trunk.tensor_parallel_joint_trunk(
+                    stacked, s, y_emb, condition, rope,
+                    num_heads=self.num_groups, dtype=self.dtype,
+                    remat=self.grad_checkpoint,
+                )
             feat = jnp.zeros_like(s)
         else:
             scanned = nn.scan(

@@ -157,3 +157,136 @@ def tensor_parallel_trunk(
         return out
 
     return run(arrs, x, c, rope)
+
+
+def tensor_parallel_joint_trunk(
+    stacked_params: Any,
+    x: jax.Array,
+    y: jax.Array,
+    c: jax.Array,
+    rope,
+    *,
+    mesh=None,
+    num_heads: int,
+    dtype: Any = jnp.bfloat16,
+    remat: bool = True,
+    tp_axis: str = MODEL_AXIS,
+    batch_axis: str = DATA_AXIS,
+):
+    """Tensor-parallel executor for the t2i JOINT-attention trunk.
+
+    Megatron split of :class:`deco_tpu.models.layers.JointDiTBlock` (the t2i
+    encoder, reference ``dit_t2i_pixnerd.py:66-85``): heads shard over
+    ``tp_axis`` for BOTH the image qkv (``(c,3c)->(c,3,H,hd)``) and the text
+    kv (``(c,2c)->(c,2,H,hd)``) projections — each device attends its head
+    subset over the full concat(image, text) keys locally, so the joint
+    attention needs no extra collective beyond the canonical post-projection
+    ``psum``; the exact-width SwiGLU shards its hidden dim. ``x``: image
+    tokens (B, N, hidden), replicated over ``tp_axis``; ``y``: text tokens
+    (B, M, hidden); ``rope`` covers image positions only. Checkpoint layout
+    untouched (same stacked ``blocks/block`` subtree as the sequential scan).
+    """
+    mesh_kw = {} if mesh is None else {"mesh": mesh}
+    S = (ambient_mesh() if mesh is None else mesh).shape[tp_axis]
+    p = stacked_params
+    L, hidden, three_c = p["attn"]["qkv_x"]["kernel"].shape
+    hd = hidden // num_heads
+    m = p["mlp"]["w1"]["kernel"].shape[-1]
+    if num_heads % S or m % S:
+        raise ValueError(
+            f"tensor parallelism over {S} devices needs heads ({num_heads}) "
+            f"and SwiGLU width ({m}) divisible by the axis size"
+        )
+
+    arrs = {
+        "qkvx_k": p["attn"]["qkv_x"]["kernel"].reshape(
+            L, hidden, 3, num_heads, hd),
+        "kvy_k": p["attn"]["kv_y"]["kernel"].reshape(
+            L, hidden, 2, num_heads, hd),
+        "proj_k": p["attn"]["proj"]["kernel"].reshape(L, num_heads, hd, hidden),
+        "proj_b": p["attn"]["proj"]["bias"],
+        "qn_w": p["attn"]["q_norm"]["weight"],
+        "kn_w": p["attn"]["k_norm"]["weight"],
+        "n1_w": p["norm1"]["weight"],
+        "n2_w": p["norm2"]["weight"],
+        "ada_k": p["adaLN_modulation"]["kernel"],
+        "ada_b": p["adaLN_modulation"]["bias"],
+        "w1_k": p["mlp"]["w1"]["kernel"],
+        "w3_k": p["mlp"]["w3"]["kernel"],
+        "w2_k": p["mlp"]["w2"]["kernel"],
+    }
+    specs = {
+        "qkvx_k": P(None, None, None, tp_axis, None),
+        "kvy_k": P(None, None, None, tp_axis, None),
+        "proj_k": P(None, tp_axis, None, None),
+        "proj_b": P(),
+        "qn_w": P(), "kn_w": P(), "n1_w": P(), "n2_w": P(),
+        "ada_k": P(), "ada_b": P(),
+        "w1_k": P(None, None, tp_axis),
+        "w3_k": P(None, None, tp_axis),
+        "w2_k": P(None, tp_axis, None),
+    }
+
+    def block(xx, q, y_loc, c_loc, rope_loc):
+        dt = dtype
+        mod = (c_loc.astype(dt) @ q["ada_k"].astype(dt)
+               ) + q["ada_b"].astype(dt)
+        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp) = jnp.split(
+            mod, 6, axis=-1)
+
+        # --- joint attention (local head subset, full concat keys) ---
+        h = modulate(_rmsnorm(xx, q["n1_w"]), sh_msa, sc_msa)
+        qkv = jnp.einsum("bnc,cthd->bnthd", h.astype(dt),
+                         q["qkvx_k"].astype(dt))
+        qh, kx, vx = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qh = _rmsnorm(qh, q["qn_w"])
+        kx = _rmsnorm(kx, q["kn_w"])
+        qh, kx = apply_rope(qh, kx, rope_loc)
+        kvy = jnp.einsum("bmc,cthd->bmthd", y_loc.astype(dt),
+                         q["kvy_k"].astype(dt))
+        ky, vy = kvy[:, :, 0], kvy[:, :, 1]
+        ky = _rmsnorm(ky, q["kn_w"])
+        kh = jnp.concatenate([kx, ky], axis=1)
+        vh = jnp.concatenate([vx, vy], axis=1)
+        scale = 1.0 / (hd ** 0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        part = jnp.einsum("bnhd,hdc->bnc", attn.astype(dt),
+                          q["proj_k"].astype(dt))
+        attn_out = jax.lax.psum(part, tp_axis) + q["proj_b"].astype(dt)
+        xx = xx + g_msa * attn_out
+
+        # --- SwiGLU (local width) ---
+        h2 = modulate(_rmsnorm(xx, q["n2_w"]), sh_mlp, sc_mlp)
+        a = h2.astype(dt) @ q["w1_k"].astype(dt)
+        b3 = h2.astype(dt) @ q["w3_k"].astype(dt)
+        part = (jax.nn.silu(a) * b3) @ q["w2_k"].astype(dt)
+        mlp_out = jax.lax.psum(part, tp_axis)
+        return xx + g_mlp * mlp_out
+
+    if remat:
+        block = jax.checkpoint(block, prevent_cse=False)
+
+    @partial(
+        jax.shard_map,
+        **mesh_kw,
+        in_specs=(
+            {k: specs[k] for k in arrs},
+            P(batch_axis, None, None),
+            P(batch_axis, None, None),
+            P(batch_axis, None, None),
+            jax.tree.map(lambda _: P(), rope),
+        ),
+        out_specs=P(batch_axis, None, None),
+        check_vma=False,
+    )
+    def run(q_local, x_loc, y_loc, c_loc, rope_loc):
+        def body(xx, q1):
+            return block(xx, q1, y_loc, c_loc, rope_loc), None
+
+        out, _ = jax.lax.scan(body, x_loc, q_local)
+        return out
+
+    return run(arrs, x, y, c, rope)

@@ -123,10 +123,12 @@ def test_full_train_step_on_sharded_state(base):
                                rtol=1e-4)
 
 
-def test_t2i_joint_trunk_sp_matches_sequential():
-    """DeCoT2I(trunk_parallel='sp'): the joint-attention encoder runs
-    sequence-parallel (image tokens on the ring, text KV replicated) and
-    matches the sequential model on fwd + grad under the ambient mesh."""
+@pytest.mark.parametrize("mode", ["sp", "tp"])
+def test_t2i_joint_trunk_sp_matches_sequential(mode):
+    """DeCoT2I(trunk_parallel='sp'|'tp'): the joint-attention encoder runs
+    under the SP (image tokens on the ring, text KV replicated) or TP
+    (head/width split) executor and matches the sequential model on
+    fwd + grad under the ambient mesh."""
     from deco_tpu.models.dit_t2i import DeCoT2I
 
     kw = dict(in_channels=3, patch_size=4, num_groups=4, hidden_size=48,
@@ -144,7 +146,7 @@ def test_t2i_joint_trunk_sp_matches_sequential():
     gref = jax.jit(jax.grad(
         lambda p: jnp.sum(model.apply(p, x, t, y) ** 2)))(params)
 
-    par = DeCoT2I(**kw, trunk_parallel="sp")
+    par = DeCoT2I(**kw, trunk_parallel=mode)
     mesh = mesh_lib.make_mesh(data=2, model=4)
     with jax.set_mesh(mesh):
         out = jax.jit(lambda p: par.apply(p, x, t, y))(params)
@@ -154,7 +156,7 @@ def test_t2i_joint_trunk_sp_matches_sequential():
             lambda p: jnp.sum(par.apply(p, x, t, y) ** 2)))(params)
     err = max(jax.tree.leaves(
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g, gref)))
-    assert err < 1e-4, f"t2i sp grad mismatch {err}"
+    assert err < 1e-4, f"t2i {mode} grad mismatch {err}"
 
 
 def test_config_level_sp_fit(tmp_path):
