@@ -243,6 +243,89 @@ def test_config_level_sp_fit(tmp_path):
     assert np.isfinite(last["loss"])
 
 
+def test_config_level_t2i_sp_fit(tmp_path):
+    """t2i end-to-end fit through the Experiment with the joint trunk under
+    SP: reference-style sft config (ImageText data, Qwen3TextEncoder
+    hash-fallback conditioner, dit_t2i_DeCo dispatch) + trunk_parallel=sp +
+    mesh_model_axis=4 — the first e2e t2i TRAIN flow in the suite, and it
+    runs sequence-parallel on the 8-device mesh."""
+    import json
+
+    from PIL import Image
+
+    from deco_tpu.train.loop import Experiment
+
+    root = tmp_path / "pairs"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.randint(0, 255, (20, 24, 3), np.uint8)
+        ).save(root / f"{i}.png")
+        (root / f"{i}.txt").write_text(f"a tiny test caption {i}")
+
+    config = {
+        "tags": {"exp": "t2i_sp_cfg"},
+        "mesh_model_axis": 4,
+        "trainer": {"default_root_dir": str(tmp_path / "wd"),
+                    "max_steps": 2, "log_every_n_steps": 1},
+        "model": {
+            "vae": {"class_path": "src.models.autoencoder.pixel.PixelAE",
+                    "init_args": {"scale": 1.0}},
+            "denoiser": {
+                "class_path": "src.models.transformer.dit_t2i_DeCo.PixNerDiT",
+                "init_args": {
+                    "in_channels": 3, "patch_size": 4, "num_groups": 4,
+                    "hidden_size": 48, "txt_embed_dim": 16,
+                    "txt_max_length": 6, "num_text_blocks": 1,
+                    "decoder_hidden_size": 16, "num_encoder_blocks": 2,
+                    "num_decoder_blocks": 1, "trunk_parallel": "sp",
+                },
+            },
+            "conditioner": {
+                "class_path":
+                    "src.models.conditioner.qwen3_text_encoder"
+                    ".Qwen3TextEncoder",
+                "init_args": {"weight_path": None, "embed_dim": 16,
+                              "max_length": 6}},
+            "diffusion_trainer": {
+                "class_path":
+                    "src.diffusion.flow_matching.training_repa_DeCo"
+                    ".REPATrainer",
+                "init_args": {
+                    "lognorm_t": True, "null_condition_p": 0.1,
+                    "scheduler":
+                        "src.diffusion.flow_matching.scheduling"
+                        ".LinearScheduler"}},
+            "diffusion_sampler": {
+                "class_path":
+                    "src.diffusion.flow_matching.adam_sampling.AdamLMSampler",
+                "init_args": {
+                    "num_steps": 2, "guidance": 1.0, "order": 2,
+                    "scheduler":
+                        "src.diffusion.flow_matching.scheduling"
+                        ".LinearScheduler",
+                    "guidance_fn":
+                        "src.diffusion.base.guidance.simple_guidance_fn"}},
+            "diffusion_batch_mul": 1,
+            "optimizer": {"class_path": "torch.optim.AdamW",
+                          "init_args": {"lr": 1e-4}},
+        },
+        "data": {
+            "train_dataset": {
+                "class_path": "src.data.dataset.image_txt.ImageText",
+                "init_args": {"root": str(root), "resolution": 16}},
+            "train_batch_size": 4,
+        },
+    }
+    exp = Experiment(config)
+    state = exp.fit()
+    assert int(state.step) == 2
+    with open(f"{exp.workdir}/metrics.jsonl") as f:
+        last = json.loads(f.readlines()[-1])
+    assert np.isfinite(last["loss"])
+
+
 def test_error_paths(base):
     model, params, (x, t, y) = base
     mesh = mesh_lib.make_mesh(data=2, model=4)
