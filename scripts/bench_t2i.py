@@ -2,7 +2,11 @@
 
 The second headline workload (BASELINE.md: GenEval/DPG model,
 configs_t2i/sft_res512.yaml). Random weights — throughput is shape-driven.
-Usage: python scripts/bench_t2i.py [batch]
+Usage: python scripts/bench_t2i.py [batch] [size]
+
+size=1024 probes the arbitrary-resolution regime (4096 image tokens) the
+extrapolating t2i RoPE enables (reference demo app.py:91-94 tops out at
+512px + patch scaling; there is no upstream 1024px t2i number).
 """
 
 import os
@@ -56,4 +60,5 @@ def main(batch=4, steps=25, size=512):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4,
+         size=int(sys.argv[2]) if len(sys.argv) > 2 else 512)
