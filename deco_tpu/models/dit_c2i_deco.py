@@ -231,36 +231,10 @@ class DeCoC2I(nn.Module):
             patch_size=p,
             dtype=self.dtype,
         )
-        L = gh * gw
-        if self.decoder_chunks > 1 and L % self.decoder_chunks:
-            raise ValueError(
-                f"decoder_chunks={self.decoder_chunks} does not divide the "
-                f"{gh}x{gw}={L}-patch grid; pick a divisor of L (the knob "
-                f"exists to bound the 512px+ decoder HBM peak — silently "
-                f"falling back would reintroduce the OOM it prevents)"
-            )
-        if self.decoder_chunks > 1:
-            # scan over patch chunks: each chunk's decoder internals are
-            # rematerialized in the backward, so the live per-pixel working
-            # set is one chunk (+ the saved xs), not the full L. Inner
-            # per-block remat is redundant under the whole-chunk remat.
-            k = self.decoder_chunks
-            Dec = nn.scan(
-                nn.remat(layers.SimpleMLPAdaLN, methods=["scan_body"],
-                         prevent_cse=False),
-                variable_broadcast="params", split_rngs={"params": False},
-                in_axes=1, out_axes=1, methods=["scan_body"],
-            )
-            xs = x_pix.reshape(b, k, L // k, p * p, self.hidden_size_x)
-            zs = s.reshape(b, k, L // k, self.hidden_size)
-            _, out = Dec(**dec_fields, grad_checkpoint=False,
-                         name="dec_net").scan_body(None, xs, zs)
-            out = out.reshape(b, L, p * p, self.in_channels)
-        else:
-            out = layers.SimpleMLPAdaLN(
-                **dec_fields, grad_checkpoint=self.grad_checkpoint,
-                name="dec_net",
-            )(x_pix, s)
+        out = layers.run_pixel_decoder(
+            x_pix, s, decoder_chunks=self.decoder_chunks,
+            grad_checkpoint=self.grad_checkpoint, **dec_fields,
+        )
         out = out.reshape(b, gh * gw, p * p * self.in_channels)
         img = unpatchify(out.astype(jnp.float32), gh, gw, p)
 

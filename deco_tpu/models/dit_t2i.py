@@ -237,7 +237,7 @@ class PixNerdT2I(nn.Module):
     grad_checkpoint: bool = False
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
-    trunk_parallel: str = "none"  # "sp": sequence-parallel joint trunk
+    trunk_parallel: str = "none"  # "sp" | "tp" joint-trunk executors
 
     @nn.compact
     def __call__(self, x, t, y, return_features: bool = False):
@@ -303,7 +303,7 @@ class DeCoT2I(nn.Module):
     grad_checkpoint: bool = False
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
-    trunk_parallel: str = "none"  # "sp": sequence-parallel joint trunk
+    trunk_parallel: str = "none"  # "sp" | "tp" joint-trunk executors
     # >1: lax.scan the per-patch pixel decoder over L-chunks under
     # whole-chunk remat so the (B, L, P^2, C) per-pixel intermediates only
     # live for L/chunks patches at a time — the same 512px+ HBM-peak breaker
@@ -342,32 +342,10 @@ class DeCoT2I(nn.Module):
             patch_size=p,
             dtype=self.dtype,
         )
-        L = gh * gw
-        if self.decoder_chunks > 1 and L % self.decoder_chunks:
-            raise ValueError(
-                f"decoder_chunks={self.decoder_chunks} does not divide the "
-                f"{gh}x{gw}={L}-patch grid; pick a divisor of L"
-            )
-        if self.decoder_chunks > 1:
-            k = self.decoder_chunks
-            Dec = nn.scan(
-                nn.remat(layers.SimpleMLPAdaLN, methods=["scan_body"],
-                         prevent_cse=False),
-                variable_broadcast="params", split_rngs={"params": False},
-                in_axes=1, out_axes=1, methods=["scan_body"],
-            )
-            # s is (B, L, hidden): the t2i decoder conditions on the
-            # per-patch trunk token (dit_t2i flow), chunked with the pixels
-            xs = x_pix.reshape(b, k, L // k, p * p, self.decoder_hidden_size)
-            zs = s.reshape(b, k, L // k, self.hidden_size)
-            _, out = Dec(**dec_fields, grad_checkpoint=False,
-                         name="dec_net").scan_body(None, xs, zs)
-            out = out.reshape(b, L, p * p, self.in_channels)
-        else:
-            out = layers.SimpleMLPAdaLN(
-                **dec_fields, grad_checkpoint=self.grad_checkpoint,
-                name="dec_net",
-            )(x_pix, s)
+        out = layers.run_pixel_decoder(
+            x_pix, s, decoder_chunks=self.decoder_chunks,
+            grad_checkpoint=self.grad_checkpoint, **dec_fields,
+        )
         out = out.reshape(b, gh * gw, p * p * self.in_channels)
         img = unpatchify(out.astype(jnp.float32), gh, gw, p)
         if return_features:

@@ -267,7 +267,8 @@ def apply_rope(xq, xk, rope):
 # ---------------------------------------------------------------------------
 
 
-def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
+def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto",
+         extra_kv=None):
     """Scaled dot-product attention. q/k/v: (B, N, H, Hc), head axis dim 2.
 
     ``impl``:
@@ -281,6 +282,12 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
     - "ring": context-parallel ring attention over the mesh ``model`` axis —
       ONLY valid inside a ``shard_map`` that binds that axis with the
       sequence sharded over it (``parallel/sp_trunk.py``); unmasked only.
+
+    ``extra_kv``: optional (k2, v2) of EXTRA tokens every query attends to
+    beyond k/v — the t2i joint-attention case (text KV next to image KV).
+    Dense impls concatenate them onto the key axis; "ring" keeps them
+    REPLICATED per device (they seed the (o, lse) accumulator) while k/v
+    ride the ring sequence-sharded.
     """
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
@@ -292,7 +299,11 @@ def sdpa(q, k, v, mask=None, dtype=jnp.bfloat16, impl: str = "auto"):
         return ring_attention_local(
             q, k, v, axis=MODEL_AXIS,
             axis_size=jax.lax.axis_size(MODEL_AXIS), scale=scale,
+            extra_kv=extra_kv,
         )
+    if extra_kv is not None:
+        k = jnp.concatenate([k, extra_kv[0]], axis=1)
+        v = jnp.concatenate([v, extra_kv[1]], axis=1)
     if impl == "auto":
         import os
 
@@ -386,19 +397,8 @@ class JointAttention(nn.Module):
         ky, vy = kv_y[:, :, 0], kv_y[:, :, 1]
         ky = k_norm(ky)
 
-        if self.attn_impl == "ring":
-            from deco_tpu.parallel.mesh import MODEL_AXIS
-            from deco_tpu.parallel.ring_attention import ring_attention_local
-
-            out = ring_attention_local(
-                q, kx, vx, axis=MODEL_AXIS,
-                axis_size=jax.lax.axis_size(MODEL_AXIS),
-                scale=1.0 / (head_dim ** 0.5), extra_kv=(ky, vy),
-            )
-        else:
-            k = jnp.concatenate([kx, ky], axis=1)
-            v = jnp.concatenate([vx, vy], axis=1)
-            out = sdpa(q, k, v, dtype=self.dtype, impl=self.attn_impl)
+        out = sdpa(q, kx, vx, dtype=self.dtype, impl=self.attn_impl,
+                   extra_kv=(ky, vy))
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -574,6 +574,50 @@ class AdaLNResBlock(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(), name="mlp_2",
         )(h)
         return x + gate_mlp * h
+
+
+def run_pixel_decoder(x_pix, s, *, decoder_chunks=0, grad_checkpoint=False,
+                      name="dec_net", **dec_fields):
+    """Run :class:`SimpleMLPAdaLN` over per-patch pixels, optionally chunked.
+
+    ``x_pix``: (B, L, P^2, C) per-pixel features; ``s``: (B, L, z) patch
+    conditions. ``decoder_chunks > 1`` lax.scans the decoder over L-chunks
+    under whole-chunk remat so the per-pixel intermediates — the measured
+    512px-training HBM peak (the reference works around it with
+    accumulate_grad_batches, configs_c2i/DeCo_XL_512.yaml:15) — only live
+    for L/chunks patches at a time. Chunked and unchunked share parameter
+    paths, so checkpoints are interchangeable. Shared by the c2i and t2i
+    models (``DeCoC2I.decoder_chunks`` / ``DeCoT2I.decoder_chunks``); must
+    be called inside a parent ``@nn.compact``.
+    """
+    b, L = x_pix.shape[0], x_pix.shape[1]
+    if decoder_chunks > 1 and L % decoder_chunks:
+        raise ValueError(
+            f"decoder_chunks={decoder_chunks} does not divide the "
+            f"{L}-patch grid; pick a divisor of L (the knob exists to bound "
+            f"the 512px+ decoder HBM peak — silently falling back would "
+            f"reintroduce the OOM it prevents)"
+        )
+    if decoder_chunks > 1:
+        # scan over patch chunks: each chunk's decoder internals are
+        # rematerialized in the backward, so the live per-pixel working set
+        # is one chunk (+ the saved xs), not the full L. Inner per-block
+        # remat is redundant under the whole-chunk remat.
+        k = decoder_chunks
+        Dec = nn.scan(
+            nn.remat(SimpleMLPAdaLN, methods=["scan_body"],
+                     prevent_cse=False),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1, methods=["scan_body"],
+        )
+        xs = x_pix.reshape((b, k, L // k) + x_pix.shape[2:])
+        zs = s.reshape((b, k, L // k) + s.shape[2:])
+        _, out = Dec(**dec_fields, grad_checkpoint=False,
+                     name=name).scan_body(None, xs, zs)
+        return out.reshape((b, L) + out.shape[3:])
+    return SimpleMLPAdaLN(
+        **dec_fields, grad_checkpoint=grad_checkpoint, name=name
+    )(x_pix, s)
 
 
 class SimpleMLPAdaLN(nn.Module):

@@ -207,33 +207,34 @@ class TestDeCoC2I:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
                                                     atol=1e-6), g1, g2)
 
-    def test_t2i_decoder_chunks_equivalent(self):
-        """DeCoT2I.decoder_chunks: same contract as the c2i knob — chunked
-        pixel decoder matches unchunked fwd+grad off the SAME param tree."""
-        from deco_tpu.models.dit_t2i import DeCoT2I
 
-        kw = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
-                  decoder_hidden_size=8, num_encoder_blocks=1,
-                  num_decoder_blocks=1, num_text_blocks=1, txt_embed_dim=16,
-                  txt_max_length=4, dtype=jnp.float32)
-        m1 = DeCoT2I(**kw)
-        m2 = DeCoT2I(**kw, decoder_chunks=4, grad_checkpoint=True)
-        rng = np.random.RandomState(2)
-        x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
-        t = jnp.asarray([0.5, 0.2])
-        y = jnp.asarray(rng.randn(2, 4, 16), jnp.float32)
-        params = m1.init(jax.random.PRNGKey(0), x, t, y)
-        params2 = m2.init(jax.random.PRNGKey(0), x, t, y)
-        assert jax.tree_util.tree_structure(params) == \
-            jax.tree_util.tree_structure(params2)
-        np.testing.assert_allclose(
-            m1.apply(params, x, t, y), m2.apply(params, x, t, y), atol=1e-6
-        )
-        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t, y) ** 2))(params)
-        g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x, t, y) ** 2))(params)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
-                                                    atol=1e-6), g1, g2)
+def test_t2i_decoder_chunks_equivalent():
+    """DeCoT2I.decoder_chunks: same contract as the c2i knob — chunked
+    pixel decoder matches unchunked fwd+grad off the SAME param tree."""
+    from deco_tpu.models.dit_t2i import DeCoT2I
+
+    kw = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+              decoder_hidden_size=8, num_encoder_blocks=1,
+              num_decoder_blocks=1, num_text_blocks=1, txt_embed_dim=16,
+              txt_max_length=4, dtype=jnp.float32)
+    m1 = DeCoT2I(**kw)
+    m2 = DeCoT2I(**kw, decoder_chunks=4, grad_checkpoint=True)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.asarray([0.5, 0.2])
+    y = jnp.asarray(rng.randn(2, 4, 16), jnp.float32)
+    params = m1.init(jax.random.PRNGKey(0), x, t, y)
+    params2 = m2.init(jax.random.PRNGKey(0), x, t, y)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params2)
+    np.testing.assert_allclose(
+        m1.apply(params, x, t, y), m2.apply(params, x, t, y), atol=1e-6
+    )
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t, y) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x, t, y) ** 2))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                atol=1e-6), g1, g2)
 
 
 class TestOtherModels:

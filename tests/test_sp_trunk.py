@@ -53,41 +53,10 @@ def test_sp_trunk_matches_sequential(data, ring):
 M_TXT = 12  # text length (not divisible by the ring — replicated, not sharded)
 
 
-class _JointTrunk(nn.Module):
-    """Sequential t2i joint trunk: nn.scan over JointDiTBlocks (the
-    dit_t2i._T2ITrunk layout on a small geometry)."""
-
-    @nn.compact
-    def __call__(self, x, y, c, rope):
-        class Cell(nn.Module):
-            @nn.compact
-            def __call__(self, carry, y, c, rope):
-                out = layers.JointDiTBlock(
-                    num_heads=HEADS, dtype=jnp.float32, name="block"
-                )(carry, y, c, rope)
-                return out, None
-
-        x, _ = nn.scan(
-            Cell,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            length=LAYERS,
-            metadata_params={nn.meta.PARTITION_NAME: None},
-        )(name="blocks")(x, y, c, rope)
-        return x
-
-
 def _setup_joint(batch=4):
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(batch, N, HIDDEN), jnp.float32)
-    y = jnp.asarray(rng.randn(batch, M_TXT, HIDDEN), jnp.float32)
-    c = jnp.asarray(rng.randn(batch, 1, HIDDEN), jnp.float32)
-    rope = layers.precompute_rope_2d(HIDDEN // HEADS, 8, 8, extrapolate=True)
-    model = _JointTrunk()
-    params = model.init(jax.random.PRNGKey(0), x, y, c, rope)
-    seq = model.apply(params, x, y, c, rope)
-    return x, y, c, rope, params["params"]["blocks"]["block"], seq
+    from tests.joint_trunk_util import setup_joint
+
+    return setup_joint(HIDDEN, HEADS, LAYERS, N, M_TXT, batch=batch)
 
 
 @pytest.mark.parametrize("data,ring", [(2, 4), (1, 8)])
@@ -97,7 +66,7 @@ def test_joint_sp_trunk_matches_sequential(data, ring):
     from deco_tpu.parallel.sp_trunk import sequence_parallel_joint_trunk
 
     mesh = mesh_lib.make_mesh(data=data, model=ring)
-    x, y, c, rope, stacked, seq = _setup_joint()
+    x, y, c, rope, stacked, seq, _ = _setup_joint()
     out = sequence_parallel_joint_trunk(
         stacked, x, y, c, rope, mesh=mesh, num_heads=HEADS, dtype=jnp.float32,
     )
@@ -108,7 +77,7 @@ def test_joint_sp_trunk_grad_matches_sequential():
     from deco_tpu.parallel.sp_trunk import sequence_parallel_joint_trunk
 
     mesh = mesh_lib.make_mesh(data=2, model=4)
-    x, y, c, rope, stacked, seq = _setup_joint()
+    x, y, c, rope, stacked, seq, jt_model = _setup_joint()
 
     @jax.jit
     def loss_sp(p, x, y):
@@ -119,7 +88,7 @@ def test_joint_sp_trunk_grad_matches_sequential():
         return jnp.mean(out ** 2)
 
     def loss_seq(p, x, y):
-        out = _JointTrunk().apply(
+        out = jt_model.apply(
             {"params": {"blocks": {"block": p}}}, x, y, c, rope
         )
         return jnp.mean(out ** 2)

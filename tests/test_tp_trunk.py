@@ -81,40 +81,10 @@ def test_tp_trunk_grad_matches_sequential():
 M_TXT = 6  # text tokens (replicated; joint keys = concat(image, text))
 
 
-class _JointTrunk(nn.Module):
-    """Sequential t2i joint trunk (nn.scan over JointDiTBlocks)."""
-
-    @nn.compact
-    def __call__(self, x, y, c, rope):
-        class Cell(nn.Module):
-            @nn.compact
-            def __call__(self, carry, y, c, rope):
-                out = layers.JointDiTBlock(
-                    num_heads=HEADS, dtype=jnp.float32, name="block"
-                )(carry, y, c, rope)
-                return out, None
-
-        x, _ = nn.scan(
-            Cell,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            length=LAYERS,
-            metadata_params={nn.meta.PARTITION_NAME: None},
-        )(name="blocks")(x, y, c, rope)
-        return x
-
-
 def _setup_joint(batch=4):
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(batch, N, HIDDEN), jnp.float32)
-    y = jnp.asarray(rng.randn(batch, M_TXT, HIDDEN), jnp.float32)
-    c = jnp.asarray(rng.randn(batch, 1, HIDDEN), jnp.float32)
-    rope = layers.precompute_rope_2d(HIDDEN // HEADS, 4, 4, extrapolate=True)
-    model = _JointTrunk()
-    params = model.init(jax.random.PRNGKey(0), x, y, c, rope)
-    seq = model.apply(params, x, y, c, rope)
-    return x, y, c, rope, params["params"]["blocks"]["block"], seq
+    from tests.joint_trunk_util import setup_joint
+
+    return setup_joint(HIDDEN, HEADS, LAYERS, N, M_TXT, batch=batch)
 
 
 @pytest.mark.parametrize("data,tp", [(2, 4), (4, 2)])
@@ -124,7 +94,7 @@ def test_joint_tp_trunk_matches_sequential(data, tp):
     from deco_tpu.parallel.tp_trunk import tensor_parallel_joint_trunk
 
     mesh = mesh_lib.make_mesh(data=data, model=tp)
-    x, y, c, rope, stacked, seq = _setup_joint()
+    x, y, c, rope, stacked, seq, _ = _setup_joint()
     out = tensor_parallel_joint_trunk(
         stacked, x, y, c, rope, mesh=mesh, num_heads=HEADS, dtype=jnp.float32,
     )
@@ -135,7 +105,7 @@ def test_joint_tp_trunk_grad_matches_sequential():
     from deco_tpu.parallel.tp_trunk import tensor_parallel_joint_trunk
 
     mesh = mesh_lib.make_mesh(data=2, model=4)
-    x, y, c, rope, stacked, seq = _setup_joint()
+    x, y, c, rope, stacked, seq, jt_model = _setup_joint()
 
     @jax.jit
     def loss_tp(p, x, y):
@@ -145,7 +115,7 @@ def test_joint_tp_trunk_grad_matches_sequential():
         return jnp.mean(out ** 2)
 
     def loss_seq(p, x, y):
-        out = _JointTrunk().apply(
+        out = jt_model.apply(
             {"params": {"blocks": {"block": p}}}, x, y, c, rope
         )
         return jnp.mean(out ** 2)
