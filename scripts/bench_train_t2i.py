@@ -1,6 +1,10 @@
 """t2i training-step probe: DeCo-XXL/16 (1.1B) on one v5e chip.
 
-Usage: python scripts/bench_train_t2i.py [batch] [res] [ema:0/1] [mu:fp32|bf16] [chunks]
+Usage: python scripts/bench_train_t2i.py [batch] [res] [ema:0/1] [opt] [chunks]
+
+opt: adamw (reference-exact) | adamw-bf16mu (bf16 first moment) |
+adafactor (factored second moment, no momentum — the standard large-model
+memory optimizer; a documented deviation, not the reference default).
 
 Structural context: the XXL fp32 TrainState is params + EMA + two AdamW
 moments = 4 x 4.4 GB = 17.6 GB > 16 GB HBM, so the reference-exact state
@@ -25,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=1, res=256, ema=True, mu_dtype="fp32", steps=4,
+def main(batch=1, res=256, ema=True, opt="adamw", steps=4,
          decoder_chunks=0):
     import optax
 
@@ -54,8 +58,11 @@ def main(batch=1, res=256, ema=True, mu_dtype="fp32", steps=4,
     n_params = sum(p.size for p in jax.tree.leaves(variables))
     print(f"params: {n_params/1e9:.2f}B ({n_params*4/2**30:.1f} GiB fp32)")
 
-    mu = jnp.bfloat16 if mu_dtype == "bf16" else None
-    tx = optax.adamw(1e-5, weight_decay=0.0, mu_dtype=mu)
+    if opt == "adafactor":
+        tx = optax.adafactor(1e-5)
+    else:
+        mu = jnp.bfloat16 if opt == "adamw-bf16mu" else None
+        tx = optax.adamw(1e-5, weight_decay=0.0, mu_dtype=mu)
     state = TrainState.create(params=variables, tx=tx, ema=ema)
     step_fn = make_train_step(
         lambda p, xt, tt, yy, **kw: model.apply(p, xt, tt, yy, **kw),
@@ -76,7 +83,7 @@ def main(batch=1, res=256, ema=True, mu_dtype="fp32", steps=4,
         state, metrics = step_fn(state, mk(i + 1), jax.random.PRNGKey(2 + i))
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
-    print(f"t2i train res={res} batch={batch} ema={ema} mu={mu_dtype} "
+    print(f"t2i train res={res} batch={batch} ema={ema} opt={opt} "
           f"chunks={decoder_chunks}: "
           f"{dt*1e3:.1f} ms/step = {batch/dt:.2f} img/s  loss0={loss0:.3f} "
           f"(compile+1st {compile_s:.1f}s)")
@@ -86,6 +93,6 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     r = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     e = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
-    m = sys.argv[4] if len(sys.argv) > 4 else "fp32"
+    m = sys.argv[4] if len(sys.argv) > 4 else "adamw"
     c = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-    main(b, r, ema=e, mu_dtype=m, decoder_chunks=c)
+    main(b, r, ema=e, opt=m, decoder_chunks=c)
