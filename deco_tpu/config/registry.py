@@ -96,6 +96,11 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     # EMA tracker config nodes (consumed as plain settings by the train loop)
     "src.callbacks.simple_ema.SimpleEMA": "deco_tpu.config.registry._SimpleEMAConfig",
     "torch.optim.AdamW": "deco_tpu.config.registry._AdamWConfig",
+    # extension beyond the reference (which is AdamW-only): the factored-
+    # second-moment optimizer that fits XXL-scale training on one 16G chip
+    # (measured: 1.1B t2i + EMA trains single-chip — PARITY round-3)
+    "optax.adafactor": "deco_tpu.config.registry._AdafactorConfig",
+    "transformers.Adafactor": "deco_tpu.config.registry._AdafactorConfig",
 }
 
 # Step-function class paths collapse to string selectors.
@@ -248,6 +253,19 @@ class _AdamWConfig:
             self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
             weight_decay=self.weight_decay,
         )
+
+
+class _AdafactorConfig:
+    """Optimizer settings node -> optax.adafactor factory (extension:
+    no reference counterpart; see PARITY round-3 t2i single-chip row)."""
+
+    def __init__(self, lr: float = 1e-4, **kw):
+        self.lr = lr
+
+    def build(self):
+        import optax
+
+        return optax.adafactor(self.lr)
 
 
 def resolve(class_path: str):

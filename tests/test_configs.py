@@ -105,3 +105,15 @@ def test_workload_families_detected():
     }
     for rel, kind in expected.items():
         assert _detect(os.path.join(REPO, rel)) == kind, rel
+
+
+def test_adafactor_optimizer_node():
+    """optax.adafactor / transformers.Adafactor are accepted optimizer
+    class_paths (extension beyond the reference's AdamW-only surface;
+    the single-chip XXL-training path — PARITY round-3)."""
+    import optax
+
+    for cp in ("optax.adafactor", "transformers.Adafactor"):
+        node = instantiate({"class_path": cp, "init_args": {"lr": 3e-4}})
+        tx = node.build()
+        assert isinstance(tx, optax.GradientTransformation)
