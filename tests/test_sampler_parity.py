@@ -166,3 +166,72 @@ def test_adamlm_sampling_parity(ref_mods):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
     )
+
+
+def test_adamlm_t2i_sampling_parity(ref_mods):
+    """Full t2i inference-stack pin: reference torch PixNerd-t2i (joint
+    image-text attention, TextRefine blocks, NerfBlock decoder) driven by the
+    reference AdamLMSampler at the production protocol shape (order 2,
+    timeshift 3.0, CFG 4.0 with an embedding-space negative prompt) vs the
+    converted deco_tpu model under deco_tpu's AdamLM scan. Extends the c2i
+    pins to the t2i family (reference app.py:82-89 protocol)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.flow_matching.adam_sampling import AdamLMSampler as TAdam
+    from src.models.transformer import dit_t2i_pixnerd
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_t2i
+    from deco_tpu.diffusion.adam_sampling import AdamLMSampler
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_t2i import PixNerdT2I
+
+    kw = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+              decoder_hidden_size=8, num_encoder_blocks=2,
+              num_decoder_blocks=2, num_text_blocks=1, txt_embed_dim=16,
+              txt_max_length=6)
+    tmodel = dit_t2i_pixnerd.PixNerDiT(**kw).eval()
+    g = torch.Generator().manual_seed(2)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(2)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    # text-embedding conditions: prompt + negative-prompt embeddings
+    cond = rng.randn(2, 6, 16).astype(np.float32)
+    uncond = rng.randn(2, 6, 16).astype(np.float32)
+
+    tsampler = TAdam(
+        scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=4.0, order=2, timeshift=3.0,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(cond),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_t2i(
+        sd, in_channels=3, patch_size=4, num_encoder_blocks=2,
+        num_text_blocks=1, pixnerd=True,
+    )
+    jmodel = PixNerdT2I(**kw, nerf_mlpratio=2, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = AdamLMSampler(
+        scheduler=LinearScheduler(), num_steps=6, guidance=4.0, order=2,
+        timeshift=3.0,
+    )
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(cond), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
