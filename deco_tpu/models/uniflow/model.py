@@ -250,7 +250,7 @@ class UniFlowVision(nn.Module):
     # ---- pieces ----
 
     def mlp1(self, x):
-        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(self.mlp1_norm(x))))
+        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(self.mlp1_norm(x)), approximate=False))
 
     def _normalize(self, pixel_values, normalize_type="siglip"):
         if normalize_type == "siglip":
@@ -277,7 +277,7 @@ class UniFlowVision(nn.Module):
         latent tokens -> gen_proj -> layer_norm -> spatial 32ch grid ->
         headless DC-AE decoder -> bilinear resize onto the (H, W) pixel grid
         -> (B, H*W, C_feat) per-pixel condition tokens."""
-        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(latent)))
+        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(latent), approximate=False))
         cond = _param_free_layer_norm(cond, eps=1e-5)
         b, n, c = cond.shape
         grid = int(round(np.sqrt(n)))
@@ -291,24 +291,30 @@ class UniFlowVision(nn.Module):
 
     def _run_pixel_trunk(self, latent):
         up = C.resample_tokens(latent, 2.0)
-        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(up)))
+        cond = self.gen_proj_fc2(nn.gelu(self.gen_proj_fc1(up), approximate=False))
         b, n, c = cond.shape
         grid = int(round(np.sqrt(n)))
         pos_embed = _interp_pos(self.global_block_pos_embed, grid)
         cond = cond + pos_embed.astype(cond.dtype)
-        # reference hard-codes head_dim=64 (fetch_pos, :1406); equal to c/16
-        rope = L.precompute_rope_2d(c // 16, grid, grid)
+        # reference hard-codes head_dim=64 (fetch_pos, :1406); equal to c/16.
+        # fetch_pos builds the ex2d table (modeling_uniflow.py imports
+        # precompute_freqs_cis_ex2d as precompute_freqs_cis_2d, scale=1.0):
+        # positions span [0, grid], NOT the DeCo family's [0, 16].
+        rope = L.precompute_rope_2d(c // 16, grid, grid, scale=1.0,
+                                    extrapolate=True)
         for block in self.global_blocks:
             cond = block(cond, rope)
         return cond, rope
 
     def _run_semantic_trunk(self, latent):
-        cond = self.sem_proj_fc2(nn.gelu(self.sem_proj_fc1(latent)))
+        cond = self.sem_proj_fc2(nn.gelu(self.sem_proj_fc1(latent), approximate=False))
         b, n, c = cond.shape
         grid = int(round(np.sqrt(n)))
         pos_embed = _interp_pos(self.sem_global_block_pos_embed, grid)
         cond = cond + pos_embed.astype(cond.dtype)
-        rope = L.precompute_rope_2d(c // 32, grid, grid)
+        # ex2d table, like the pixel trunk (see _run_pixel_trunk note)
+        rope = L.precompute_rope_2d(c // 32, grid, grid, scale=1.0,
+                                    extrapolate=True)
         for block in self.sem_global_blocks:
             cond = block(cond, rope)
         return cond, rope
