@@ -237,7 +237,7 @@ def load_teacher_feature_fn(model_dir: str, dtype=None):
         h = h * jnp.asarray(mlp1["0.weight"]) + jnp.asarray(mlp1["0.bias"])
         h = h.astype(x.dtype)
         h = h @ jnp.asarray(mlp1["1.weight"]).T + jnp.asarray(mlp1["1.bias"])
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)
         return h @ jnp.asarray(mlp1["3.weight"]).T + jnp.asarray(mlp1["3.bias"])
 
     @jax.jit

@@ -138,7 +138,7 @@ class InternVLVision(nn.Module):
         embeds = resample_tokens(embeds, self.downsample_ratio)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp1_norm")(embeds)
         h = nn.Dense(self.llm_hidden_size, dtype=self.dtype, name="mlp1_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         return nn.Dense(self.llm_hidden_size, dtype=self.dtype, name="mlp1_fc2")(h)
 
 

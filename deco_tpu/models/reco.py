@@ -168,12 +168,12 @@ class ReCoModel(nn.Module):
         """mlp1 understanding features (pixel-shuffled x0.5)."""
         embeds = resample_tokens(self.extract_vision_feature(pixel_values), 0.5)
         h = self.mlp1_norm(embeds)
-        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(h)))
+        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(h), approximate=False))
 
     def forward_condition(self, x, vit_embeds=None):
         if vit_embeds is None:
             vit_embeds = self.extract_vision_feature(x)
-        latent = self.latent_fc2(nn.gelu(self.latent_fc1(vit_embeds)))
+        latent = self.latent_fc2(nn.gelu(self.latent_fc1(vit_embeds), approximate=False))
         return self.pixel_decoder.forward_condition(latent)
 
     def __call__(self, x, t, s=None, cond_image=None):

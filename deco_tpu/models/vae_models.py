@@ -43,7 +43,7 @@ class ResidualMLPBlock(nn.Module):
         c = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = nn.Dense(c * self.expansion_ratio, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros, name="fc2")(h)
         return x + h
@@ -79,7 +79,7 @@ class DCDownsampleMLP(nn.Module):
             h = h + y
         m = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_norm")(h)
         m = nn.Dense(self.out_channels, dtype=self.dtype, name="mlp_fc1")(m)
-        m = nn.gelu(m)
+        m = nn.gelu(m, approximate=False)
         m = nn.Dense(self.out_channels, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros, name="mlp_fc2")(m)
@@ -141,7 +141,7 @@ class VAEModel(nn.Module):
         return last_hidden[:, 1:], tapped[:, 1:]
 
     def mlp1(self, feats):
-        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(self.mlp1_norm(feats))))
+        return self.mlp1_fc2(nn.gelu(self.mlp1_fc1(self.mlp1_norm(feats)), approximate=False))
 
     def encode_latent(self, gen_features, rng=None):
         latent = self.latent_projector(gen_features)
@@ -200,7 +200,7 @@ class DCAEDecoderEval(nn.Module):
                                  name=f"down_blocks_{i}")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="down_norm")(h)
         h = nn.Dense(self.latent_channel, dtype=self.dtype, name="down_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.latent_channel, dtype=self.dtype, name="down_fc2")(h)
         b, n, c = h.shape
         grid = int(round(np.sqrt(n)))
