@@ -444,3 +444,58 @@ def convert_denoiser_ckpt(
     if model_kind == "pixnerd_t2i":
         return convert_deco_t2i(sd, pixnerd=True, **kwargs)
     raise ValueError(model_kind)
+
+
+def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
+    """Reference ``dit_t2i_DeCo.PixNerDiT`` (the snapshot's ReCo class,
+    dit_t2i_DeCo.py:469-633) state dict -> :class:`models.reco.ReCoModel`
+    params: frozen InternViT tower (via the ViT bridge), mlp1 connector,
+    latent projector, and the PixelDecoder (learnable tokens, plain DiT
+    blocks with fused-SwiGLU, t2i NerfEmbedder, SimpleMLPAdaLN dec_net)."""
+    from deco_tpu.convert.uniflow_bridge import _dit_block
+    from deco_tpu.convert.vit_bridge import vit_params_from_torch
+
+    sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
+    vit_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    n_vit = 1 + max(int(m.group(1)) for k in vit_sd
+                    if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+    if norm_type == "auto":
+        norm_type = ("layer_norm" if "encoder.layers.0.norm1.bias" in vit_sd
+                     else "rms_norm")
+    params: dict = {
+        "vision_model": vit_params_from_torch(vit_sd, n_vit,
+                                              norm_type=norm_type),
+        "mlp1_norm": {"scale": sd["mlp1.0.weight"], "bias": sd["mlp1.0.bias"]},
+        "mlp1_fc1": {"kernel": _t(sd["mlp1.1.weight"]),
+                     "bias": sd["mlp1.1.bias"]},
+        "mlp1_fc2": {"kernel": _t(sd["mlp1.3.weight"]),
+                     "bias": sd["mlp1.3.bias"]},
+        "latent_fc1": {"kernel": _t(sd["latent_projector.0.weight"]),
+                       "bias": sd["latent_projector.0.bias"]},
+        "latent_fc2": {"kernel": _t(sd["latent_projector.2.weight"]),
+                       "bias": sd["latent_projector.2.bias"]},
+    }
+    pd = "pixel_decoder."
+    dec: dict = {
+        "learnable_tokens": sd[pd + "learnable_tokens"],
+        "s_embedder": {"proj": {
+            "kernel": _t(sd[pd + "s_embedder.proj.weight"]),
+            "bias": sd[pd + "s_embedder.proj.bias"]}},
+        "x_embedder": {"embedder": {
+            "kernel": _t(sd[pd + "x_embedder.embedder.0.weight"]),
+            "bias": sd[pd + "x_embedder.embedder.0.bias"]}},
+        "t_embedder": {
+            "mlp_0": {"kernel": _t(sd[pd + "t_embedder.mlp.0.weight"]),
+                      "bias": sd[pd + "t_embedder.mlp.0.bias"]},
+            "mlp_2": {"kernel": _t(sd[pd + "t_embedder.mlp.2.weight"]),
+                      "bias": sd[pd + "t_embedder.mlp.2.bias"]},
+        },
+        "dec_net": _convert_simple_mlp_adaln(pd + "dec_net.", sd),
+    }
+    n_blocks = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"pixel_decoder\.blocks\.(\d+)\.", k)))
+    for i in range(n_blocks):
+        dec[f"blocks_{i}"] = _dit_block(sd, f"{pd}blocks.{i}.")
+    params["pixel_decoder"] = dec
+    return params

@@ -24,6 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from deco_tpu.models import layers as L
+from deco_tpu.models.dit_t2i import NerfEmbedderT2I
 from deco_tpu.models.patching import patchify, unpatchify
 from deco_tpu.models.uniflow.components import PlainDiTBlock, resample_tokens
 from deco_tpu.models.uniflow.vit import ViTConfig, VisionModel
@@ -53,8 +54,11 @@ class PixelDecoder(nn.Module):
         )
         self.s_embedder = L.Embed(self.hidden_size, dtype=self.dtype,
                                   name="s_embedder")
-        self.x_embedder = L.NerfEmbedder(self.hidden_size_x, max_freqs=8,
-                                         dtype=self.dtype, name="x_embedder")
+        # the snapshot ReCo file defines its own NerfEmbedder over the ex2d
+        # rope-cos basis (dit_t2i_DeCo.py:113-137 — the t2i variant), NOT the
+        # c2i DCT basis
+        self.x_embedder = NerfEmbedderT2I(self.hidden_size_x, max_freqs=8,
+                                          dtype=self.dtype, name="x_embedder")
         self.t_embedder = L.TimestepEmbedder(self.hidden_size, dtype=self.dtype,
                                              name="t_embedder")
         self.blocks = [
@@ -75,8 +79,11 @@ class PixelDecoder(nn.Module):
         """latent: (B, N, latent_channel) -> (B, N, hidden)."""
         b, n, _ = latent.shape
         grid = int(round(np.sqrt(n)))
+        # ex2d table (dit_t2i_DeCo.py imports precompute_freqs_cis_ex2d as
+        # precompute_freqs_cis_2d): positions span [0, grid], scale 1.0
         cos, sin = L.precompute_rope_2d(
-            self.hidden_size // self.num_groups, grid, grid
+            self.hidden_size // self.num_groups, grid, grid,
+            scale=1.0, extrapolate=True,
         )
         # center position encoding for the learnable tokens (reference :421-426)
         center = grid * grid // 2

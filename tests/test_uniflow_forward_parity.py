@@ -33,8 +33,6 @@ hard-coded value evaluates to at real scale.
 import os
 import shutil
 import sys
-import types
-
 import numpy as np
 import pytest
 
@@ -45,100 +43,13 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _mod(name):
-    import importlib.machinery
-
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    return m
-
-
-def _install_stubs(torch):
-    """Additively stub timm / torchvision / perceptual_loss; return the
-    sys.modules keys that were newly added (for teardown)."""
-    added = []
-
-    def _ensure(name):
-        if name not in sys.modules:
-            sys.modules[name] = _mod(name)
-            added.append(name)
-        return sys.modules[name]
-
-    timm = _ensure("timm")
-    data = _ensure("timm.data")
-    const = _ensure("timm.data.constants")
-    if not hasattr(const, "IMAGENET_DEFAULT_MEAN"):
-        const.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
-        const.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
-    data.constants = const
-    timm.data = data
-
-    models = _ensure("timm.models")
-    layers = _ensure("timm.models.layers")
-    if not hasattr(layers, "DropPath"):
-        class DropPath(torch.nn.Identity):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-        layers.DropPath = DropPath
-    if not hasattr(layers, "trunc_normal_"):
-        layers.trunc_normal_ = torch.nn.init.trunc_normal_
-    registry = _ensure("timm.models.registry")
-    if not hasattr(registry, "register_model"):
-        registry.register_model = lambda fn: fn
-    vit_mod = _ensure("timm.models.vision_transformer")
-    if not hasattr(vit_mod, "Block"):
-        vit_mod.Block = torch.nn.Module
-    models.layers = layers
-    models.registry = registry
-    models.vision_transformer = vit_mod
-    timm.models = models
-
-    try:
-        from torchvision.transforms import Normalize  # noqa: F401
-    except Exception:
-        tv = _ensure("torchvision")
-        tr = _ensure("torchvision.transforms")
-        if not hasattr(tr, "Normalize"):
-            class Normalize:
-                def __init__(self, mean, std):
-                    self.mean, self.std = mean, std
-
-                def __call__(self, x):
-                    mean = torch.as_tensor(
-                        self.mean, dtype=x.dtype).view(1, -1, 1, 1)
-                    std = torch.as_tensor(
-                        self.std, dtype=x.dtype).view(1, -1, 1, 1)
-                    return (x - mean) / std
-
-            tr.Normalize = Normalize
-        tv.transforms = tr
-
-    name = "src.models.modules.perceptual_loss"
-    try:
-        __import__(name)
-    except Exception:
-        pl = _mod(name)
-
-        class PerceptualLoss(torch.nn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-            def forward(self, a, b):
-                return torch.zeros(a.shape[0])
-
-        pl.PerceptualLoss = PerceptualLoss
-        sys.modules[name] = pl
-        added.append(name)
-    return added
-
-
 @pytest.fixture(scope="module")
 def ref_uniflow(tmp_path_factory):
     torch = pytest.importorskip("torch")
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    added = _install_stubs(torch)
+    from tests.ref_stub_util import install_stubs, remove_stubs
+    added = install_stubs(torch)
 
     pkg_root = str(tmp_path_factory.mktemp("refuf"))
     d = os.path.join(pkg_root, "refuniflow_pkg")
@@ -168,8 +79,7 @@ def ref_uniflow(tmp_path_factory):
     for k in list(sys.modules):
         if k.startswith("refuniflow_pkg"):
             del sys.modules[k]
-    for k in added:
-        sys.modules.pop(k, None)
+    remove_stubs(added)
 
 
 # the reference config dict; UniFlowVisionModel.__init__ mutates
