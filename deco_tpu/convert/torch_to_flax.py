@@ -499,3 +499,30 @@ def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
         dec[f"blocks_{i}"] = _dit_block(sd, f"{pd}blocks.{i}.")
     params["pixel_decoder"] = dec
     return params
+
+
+def convert_discriminator(sd: Dict[str, np.ndarray]) -> dict:
+    """Reference ``NLayerDiscriminator`` (src/models/modules/discriminator.py:73-154)
+    state dict -> :class:`models.gan.discriminator.NLayerDiscriminator` params
+    (same-pad convs OIHW->HWIO, per-stage GroupNorm)."""
+    sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
+
+    def conv(name):
+        return {"conv": {
+            "kernel": np.ascontiguousarray(
+                sd[name + ".weight"].transpose(2, 3, 1, 0)),
+            "bias": sd[name + ".bias"],
+        }}
+
+    params = {
+        "block_in": conv("block_in.0"),
+        "head_conv1": conv("to_logits.0"),
+        "head_conv2": conv("to_logits.2"),
+    }
+    i = 0
+    while f"blocks.{i}.0.weight" in sd:
+        params[f"stage_{i}_conv"] = conv(f"blocks.{i}.0")
+        params[f"stage_{i}_norm"] = {"scale": sd[f"blocks.{i}.2.weight"],
+                                     "bias": sd[f"blocks.{i}.2.bias"]}
+        i += 1
+    return params
