@@ -526,3 +526,57 @@ def convert_discriminator(sd: Dict[str, np.ndarray]) -> dict:
                                      "bias": sd[f"blocks.{i}.2.bias"]}
         i += 1
     return params
+
+
+def convert_vae_encoder(sd: Dict[str, np.ndarray],
+                        norm_type: str = "auto") -> dict:
+    """Reference ``encoder_ae_sim.VAEModel`` / ``encoder_ae.VAEModel``
+    ENCODER-side state dict -> :class:`models.vae_models.VAEModel` params
+    (vision tower via the ViT bridge, mlp1, gen_mlp1 DCDownsampleMLP,
+    LatentConnectorModule). Decoder (vendored diffusers DC-AE) keys are
+    ignored — load DC-AE weights through ``models.dcae``'s own bridge."""
+    from deco_tpu.convert.vit_bridge import vit_params_from_torch
+
+    sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
+    vit_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    n_vit = 1 + max(int(m.group(1)) for k in vit_sd
+                    if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+    if norm_type == "auto":
+        norm_type = ("layer_norm" if "encoder.layers.0.norm1.bias" in vit_sd
+                     else "rms_norm")
+    params: dict = {
+        "vision_model": vit_params_from_torch(vit_sd, n_vit,
+                                              norm_type=norm_type),
+        "mlp1_norm": {"scale": sd["mlp1.0.weight"], "bias": sd["mlp1.0.bias"]},
+        "mlp1_fc1": {"kernel": _t(sd["mlp1.1.weight"]),
+                     "bias": sd["mlp1.1.bias"]},
+        "mlp1_fc2": {"kernel": _t(sd["mlp1.3.weight"]),
+                     "bias": sd["mlp1.3.bias"]},
+        "gen_mlp1": {
+            "channel_proj": {"kernel": _t(sd["gen_mlp1.channel_proj.weight"]),
+                             "bias": sd["gen_mlp1.channel_proj.bias"]},
+            "mlp_norm": {"scale": sd["gen_mlp1.mlp.0.weight"],
+                         "bias": sd["gen_mlp1.mlp.0.bias"]},
+            "mlp_fc1": {"kernel": _t(sd["gen_mlp1.mlp.1.weight"]),
+                        "bias": sd["gen_mlp1.mlp.1.bias"]},
+            "mlp_fc2": {"kernel": _t(sd["gen_mlp1.mlp.3.weight"]),
+                        "bias": sd["gen_mlp1.mlp.3.bias"]},
+        },
+    }
+    lp: dict = {}
+    for i in range(3):
+        pre = f"latent_projector.mlp_blocks.{i}."
+        lp[f"mlp_blocks_{i}"] = {
+            "norm": {"weight": sd[pre + "norm.weight"]},
+            "fc1": {"kernel": _t(sd[pre + "mlp.0.weight"]),
+                    "bias": sd[pre + "mlp.0.bias"]},
+            "fc2": {"kernel": _t(sd[pre + "mlp.2.weight"]),
+                    "bias": sd[pre + "mlp.2.bias"]},
+        }
+    if "latent_projector.final_proj.weight" in sd:
+        lp["final_proj"] = {
+            "kernel": _t(sd["latent_projector.final_proj.weight"]),
+            "bias": sd["latent_projector.final_proj.bias"]}
+    params["latent_projector"] = lp
+    return params

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from deco_tpu.models import layers as L
 from deco_tpu.models.dcae import DCAEDecoder
 from deco_tpu.models.uniflow.components import resample_tokens
 from deco_tpu.models.uniflow.vit import ViTConfig, VisionModel
@@ -35,6 +36,9 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class ResidualMLPBlock(nn.Module):
+    """LayerNorm + GELU residual MLP (lightning_dcae_eval_model.py:20-38 —
+    the DCAE eval model's ResBlock; NOT the LatentConnector block below)."""
+
     expansion_ratio: int = 4
     dtype: Any = jnp.bfloat16
 
@@ -49,6 +53,25 @@ class ResidualMLPBlock(nn.Module):
         return x + h
 
 
+class RMSResidualMLPBlock(nn.Module):
+    """RMSNorm + SiLU residual MLP with zero-init last layer — the reference
+    ``dit_t2i_DeCo.ResidualMLPBlock`` (:141-152) that LatentConnectorModule
+    stacks (encoder_ae_sim.py:154-158 builds the latent projector from it)."""
+
+    expansion_ratio: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = L.RMSNorm(name="norm")(x)
+        h = nn.Dense(c * self.expansion_ratio, dtype=self.dtype, name="fc1")(h)
+        h = nn.silu(h)
+        h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name="fc2")(h)
+        return x + h
+
+
 class LatentConnectorModule(nn.Module):
     out_channels: int
     expansion_ratio: int = 4
@@ -57,8 +80,8 @@ class LatentConnectorModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(3):
-            x = ResidualMLPBlock(self.expansion_ratio, dtype=self.dtype,
-                                 name=f"mlp_blocks_{i}")(x)
+            x = RMSResidualMLPBlock(self.expansion_ratio, dtype=self.dtype,
+                                    name=f"mlp_blocks_{i}")(x)
         if x.shape[-1] != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="final_proj")(x)
