@@ -235,3 +235,180 @@ def test_adamlm_t2i_sampling_parity(ref_mods):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
     )
+
+
+def test_ddim_sampling_parity(ref_mods):
+    """DDPM-family pin: reference DDIMSampler (deterministic, discrete-t
+    table scheduler) vs deco_tpu's DDIM scan with the same converted model
+    (ddpm/ddim_sampling.py:10-52)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.ddpm.ddim_sampling import DDIMSampler as TDDIM
+    from src.diffusion.ddpm.scheduling import DDPMScheduler as TSched
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.ddpm_sampling import DDIMSampler
+    from deco_tpu.diffusion.scheduling import DDPMScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(7)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(7)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([3, 9])
+    uncond = np.asarray([10, 10])
+
+    # upstream CPU-host bug: the DDPM table scheduler hard-codes
+    # device="cuda" (ddpm/scheduling.py:18); build the same tables on CPU
+    from unittest import mock
+
+    orig_linspace = torch.linspace
+
+    def cpu_linspace(*a, **k):
+        k.pop("device", None)
+        return orig_linspace(*a, **k)
+
+    with mock.patch.object(torch, "linspace", cpu_linspace):
+        tsched = TSched()
+    tsampler = TDDIM(
+        scheduler=tsched, guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=2.0,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = DDIMSampler(scheduler=DDPMScheduler(), num_steps=6,
+                           guidance=2.0)
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
+
+
+def test_vp_euler_sampling_parity(ref_mods):
+    """VP probability-flow Euler pin: reference VPEulerSampler (continuous
+    VP scheduler, x1000 train_max_t net timesteps, distinct last step) vs
+    deco_tpu's scan (ddpm/vp_sampling.py:16-70)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.ddpm.scheduling import VPScheduler as TSched
+    from src.diffusion.ddpm.vp_sampling import VPEulerSampler as TVP
+    from src.diffusion.ddpm.vp_sampling import ode_step_fn as t_ode
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.ddpm_sampling import VPEulerSampler
+    from deco_tpu.diffusion.scheduling import VPScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(8)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(8)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([4, 6])
+    uncond = np.asarray([10, 10])
+
+    tsampler = TVP(
+        scheduler=TSched(), guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=2.0, step_fn=t_ode, last_step_fn=t_ode,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = VPEulerSampler(scheduler=VPScheduler(), num_steps=6,
+                              guidance=2.0)
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
+
+
+def test_heun_sampling_parity(ref_mods):
+    """Heun predictor-corrector pin vs the reference HeunSampler
+    (flow_matching/sampling.py:190-296), exact_heun on."""
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.flow_matching.sampling import HeunSampler as THeun
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.sampling import HeunSampler
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(9)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(9)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([0, 8])
+    uncond = np.asarray([10, 10])
+
+    tsampler = THeun(
+        scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=2.0, exact_henu=True,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = HeunSampler(scheduler=LinearScheduler(), num_steps=6,
+                           guidance=2.0, exact_heun=True)
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
