@@ -446,16 +446,14 @@ def convert_denoiser_ckpt(
     raise ValueError(model_kind)
 
 
-def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
-    """Reference ``dit_t2i_DeCo.PixNerDiT`` (the snapshot's ReCo class,
-    dit_t2i_DeCo.py:469-633) state dict -> :class:`models.reco.ReCoModel`
-    params: frozen InternViT tower (via the ViT bridge), mlp1 connector,
-    latent projector, and the PixelDecoder (learnable tokens, plain DiT
-    blocks with fused-SwiGLU, t2i NerfEmbedder, SimpleMLPAdaLN dec_net)."""
-    from deco_tpu.convert.uniflow_bridge import _dit_block
+def _vision_tower_and_mlp1(sd: Dict[str, np.ndarray],
+                           norm_type: str = "auto") -> dict:
+    """Shared encoder mapping for reference models built as
+    ``vision_model`` (InternViT) + ``mlp1`` Sequential(LN, Linear, GELU,
+    Linear): ReCo (dit_t2i_DeCo.py:508-526) and the VAE encoders
+    (encoder_ae_sim.py:123-139)."""
     from deco_tpu.convert.vit_bridge import vit_params_from_torch
 
-    sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
     vit_sd = {k[len("vision_model."):]: v for k, v in sd.items()
               if k.startswith("vision_model.")}
     n_vit = 1 + max(int(m.group(1)) for k in vit_sd
@@ -463,7 +461,7 @@ def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
     if norm_type == "auto":
         norm_type = ("layer_norm" if "encoder.layers.0.norm1.bias" in vit_sd
                      else "rms_norm")
-    params: dict = {
+    return {
         "vision_model": vit_params_from_torch(vit_sd, n_vit,
                                               norm_type=norm_type),
         "mlp1_norm": {"scale": sd["mlp1.0.weight"], "bias": sd["mlp1.0.bias"]},
@@ -471,11 +469,25 @@ def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
                      "bias": sd["mlp1.1.bias"]},
         "mlp1_fc2": {"kernel": _t(sd["mlp1.3.weight"]),
                      "bias": sd["mlp1.3.bias"]},
+    }
+
+
+def convert_reco(sd: Dict[str, np.ndarray], norm_type: str = "auto") -> dict:
+    """Reference ``dit_t2i_DeCo.PixNerDiT`` (the snapshot's ReCo class,
+    dit_t2i_DeCo.py:469-633) state dict -> :class:`models.reco.ReCoModel`
+    params: frozen InternViT tower (via the ViT bridge), mlp1 connector,
+    latent projector, and the PixelDecoder (learnable tokens, plain DiT
+    blocks with fused-SwiGLU, t2i NerfEmbedder, SimpleMLPAdaLN dec_net)."""
+    from deco_tpu.convert.uniflow_bridge import _dit_block
+
+    sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
+    params: dict = _vision_tower_and_mlp1(sd, norm_type)
+    params.update({
         "latent_fc1": {"kernel": _t(sd["latent_projector.0.weight"]),
                        "bias": sd["latent_projector.0.bias"]},
         "latent_fc2": {"kernel": _t(sd["latent_projector.2.weight"]),
                        "bias": sd["latent_projector.2.bias"]},
-    }
+    })
     pd = "pixel_decoder."
     dec: dict = {
         "learnable_tokens": sd[pd + "learnable_tokens"],
@@ -535,24 +547,9 @@ def convert_vae_encoder(sd: Dict[str, np.ndarray],
     (vision tower via the ViT bridge, mlp1, gen_mlp1 DCDownsampleMLP,
     LatentConnectorModule). Decoder (vendored diffusers DC-AE) keys are
     ignored — load DC-AE weights through ``models.dcae``'s own bridge."""
-    from deco_tpu.convert.vit_bridge import vit_params_from_torch
-
     sd = {clean_key(k): np.asarray(v) for k, v in sd.items()}
-    vit_sd = {k[len("vision_model."):]: v for k, v in sd.items()
-              if k.startswith("vision_model.")}
-    n_vit = 1 + max(int(m.group(1)) for k in vit_sd
-                    if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
-    if norm_type == "auto":
-        norm_type = ("layer_norm" if "encoder.layers.0.norm1.bias" in vit_sd
-                     else "rms_norm")
-    params: dict = {
-        "vision_model": vit_params_from_torch(vit_sd, n_vit,
-                                              norm_type=norm_type),
-        "mlp1_norm": {"scale": sd["mlp1.0.weight"], "bias": sd["mlp1.0.bias"]},
-        "mlp1_fc1": {"kernel": _t(sd["mlp1.1.weight"]),
-                     "bias": sd["mlp1.1.bias"]},
-        "mlp1_fc2": {"kernel": _t(sd["mlp1.3.weight"]),
-                     "bias": sd["mlp1.3.bias"]},
+    params: dict = _vision_tower_and_mlp1(sd, norm_type)
+    params.update({
         "gen_mlp1": {
             "channel_proj": {"kernel": _t(sd["gen_mlp1.channel_proj.weight"]),
                              "bias": sd["gen_mlp1.channel_proj.bias"]},
@@ -563,7 +560,7 @@ def convert_vae_encoder(sd: Dict[str, np.ndarray],
             "mlp_fc2": {"kernel": _t(sd["gen_mlp1.mlp.3.weight"]),
                         "bias": sd["gen_mlp1.mlp.3.bias"]},
         },
-    }
+    })
     lp: dict = {}
     for i in range(3):
         pre = f"latent_projector.mlp_blocks.{i}."

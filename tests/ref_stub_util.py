@@ -21,16 +21,21 @@ def _mod(name):
     return m
 
 
+def ensure_module(name, added):
+    """Get-or-create a stub module in sys.modules, recording additions."""
+    if name not in sys.modules:
+        sys.modules[name] = _mod(name)
+        added.append(name)
+    return sys.modules[name]
+
+
 def install_stubs(torch):
     """Additively stub timm / torchvision / perceptual_loss; return the
     sys.modules keys that were newly added (for teardown)."""
     added = []
 
     def _ensure(name):
-        if name not in sys.modules:
-            sys.modules[name] = _mod(name)
-            added.append(name)
-        return sys.modules[name]
+        return ensure_module(name, added)
 
     timm = _ensure("timm")
     data = _ensure("timm.data")

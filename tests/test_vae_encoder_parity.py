@@ -20,7 +20,6 @@ tower's layer index, which is what 18 means at real scale.
 import json
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -44,20 +43,15 @@ def _install_diffusers_stub(torch):
     """encoder_ae_sim imports diffusers at module scope; provide the three
     names it touches. AutoencoderDC.from_pretrained returns an object with a
     .decoder (never exercised by the encoder-path pin)."""
-    import importlib.machinery
+    try:
+        from tests.ref_stub_util import ensure_module
+    except ImportError:  # bare pytest puts tests/ itself on sys.path
+        from ref_stub_util import ensure_module
 
     added = []
 
-    def _mod(name):
-        m = types.ModuleType(name)
-        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-        return m
-
     def _ensure(name):
-        if name not in sys.modules:
-            sys.modules[name] = _mod(name)
-            added.append(name)
-        return sys.modules[name]
+        return ensure_module(name, added)
 
     d = _ensure("diffusers")
     dm = _ensure("diffusers.models")
@@ -92,7 +86,10 @@ def ref_vae(tmp_path_factory):
     torch = pytest.importorskip("torch")
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    from tests.ref_stub_util import install_stubs, remove_stubs
+    try:
+        from tests.ref_stub_util import install_stubs, remove_stubs
+    except ImportError:  # bare pytest puts tests/ itself on sys.path
+        from ref_stub_util import install_stubs, remove_stubs
 
     added = install_stubs(torch)
     added += _install_diffusers_stub(torch)
