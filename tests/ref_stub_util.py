@@ -43,6 +43,9 @@ def install_stubs(torch):
     if not hasattr(const, "IMAGENET_DEFAULT_MEAN"):
         const.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
         const.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    # some reference files do `from timm.data import IMAGENET_DEFAULT_MEAN`
+    data.IMAGENET_DEFAULT_MEAN = const.IMAGENET_DEFAULT_MEAN
+    data.IMAGENET_DEFAULT_STD = const.IMAGENET_DEFAULT_STD
     data.constants = const
     timm.data = data
 
@@ -85,6 +88,10 @@ def install_stubs(torch):
                     return (x - mean) / std
 
             tr.Normalize = Normalize
+        tu = _ensure("torchvision.utils")
+        if not hasattr(tu, "save_image"):
+            tu.save_image = lambda *a, **k: None
+        tv.utils = tu
         tv.transforms = tr
 
     name = "src.models.modules.perceptual_loss"

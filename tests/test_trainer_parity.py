@@ -1,0 +1,172 @@
+"""DeCo trainer-loss parity vs the reference REPATrainer, with injected
+randomness — including the paper's headline DCT frequency loss evaluated
+against the reference's own live machinery.
+
+Both `_impl_trainstep` bodies draw (nt, t_uniform, mix, noise) in the same
+order and shapes; the test monkeypatches torch.randn/rand/randn_like and
+jax.random.normal/uniform to pop the SAME recorded arrays, so the mixed
+lognormal/uniform timestep draw, timeshift, interpolant construction, and
+velocity-MSE reduction are compared end-to-end on the converted tiny c2i
+model (training_repa_DeCo.py:216-287).
+
+The frequency term is commented out of the reference `_impl_trainstep`
+(:276-278) but its machinery is live (:95-195); the test evaluates
+``(freq_w * (DCT(YCbCr(out)) - DCT(YCbCr(v_t)))**2).mean()`` through the
+reference's `_rgb2ycbcr`/`_dct`/`freq_w` buffers and compares against
+deco_tpu's fused `block_dct.frequency_weighted_mse` (which transforms the
+difference once — DCT/YCbCr are linear). This is the golden pin for
+ops/block_dct (previously covered by orthonormality/round-trip tests only).
+"""
+
+import os
+import sys
+from unittest import mock
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+KW = dict(in_channels=3, patch_size=4, num_groups=2, hidden_size=32,
+          hidden_size_x=8, num_blocks=4, num_cond_blocks=2, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def ref_trainer_mod():
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from tests.ref_stub_util import install_stubs, remove_stubs
+    except ImportError:  # bare pytest puts tests/ itself on sys.path
+        from ref_stub_util import install_stubs, remove_stubs
+
+    added = install_stubs(torch)
+    # the reference decorates _dct with @torch.compile(); run it eagerly
+    # (inductor-on-CPU is irrelevant to the math being pinned)
+    torch._dynamo.config.disable = True
+    import importlib.util
+
+    from src.diffusion.flow_matching.scheduling import LinearScheduler
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_trainer_deco",
+        os.path.join(REF, "src/diffusion/flow_matching/training_repa_DeCo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_trainer_deco"] = mod
+    spec.loader.exec_module(mod)
+    spec2 = importlib.util.spec_from_file_location(
+        "ref_dit_trainer", os.path.join(
+            REF, "src/models/transformer/dit_c2i_DeCo.py")
+    )
+    dit = importlib.util.module_from_spec(spec2)
+    sys.modules["ref_dit_trainer"] = dit
+    spec2.loader.exec_module(dit)
+    yield mod, LinearScheduler, dit
+    remove_stubs(added)
+
+
+def test_deco_trainer_loss_and_freq_parity(ref_trainer_mod):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.diffusion.training import DeCoTrainer
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    mod, TLinear, dit = ref_trainer_mod
+    tmodel = dit.PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rs = np.random.RandomState(11)
+    batch = 2
+    x = (rs.uniform(-1, 1, (batch, 3, 16, 16))).astype(np.float32)
+    y = np.asarray([1, 7])
+    q_nt = rs.randn(batch).astype(np.float32)
+    q_uni = [rs.uniform(0, 1, batch).astype(np.float32),
+             rs.uniform(0, 1, batch).astype(np.float32)]
+    q_noise = rs.randn(batch, 3, 16, 16).astype(np.float32)
+
+    # ---- reference side: monkeypatch the torch draws ----
+    t_uni_iter = iter([torch.from_numpy(v) for v in q_uni])
+    with mock.patch.object(
+        torch, "randn",
+        side_effect=lambda *s, **k: torch.from_numpy(q_nt)), \
+            mock.patch.object(
+        torch, "rand", side_effect=lambda *s, **k: next(t_uni_iter)), \
+            mock.patch.object(
+        torch, "randn_like",
+        side_effect=lambda t, **k: torch.from_numpy(q_noise)):
+        ttrainer = mod.REPATrainer(
+            scheduler=TLinear(), lognorm_t=True, timeshift=1.0,
+            # upstream asserts encoder is not None (no_grad) even though the
+            # REPA branch is commented out of _impl_trainstep
+            encoder=torch.nn.Identity(),
+        )
+        with torch.no_grad():
+            out_t = ttrainer._impl_trainstep(
+                tmodel, None, None, torch.from_numpy(x),
+                torch.from_numpy(y), metadata={"raw_image": None},
+            )
+    fm_t = float(out_t["fm_loss"])
+
+    # reference freq term through its own live machinery (:95-195), on the
+    # same out/v_t reconstructed from the recorded draws
+    with torch.no_grad():
+        t_log = torch.sigmoid(torch.from_numpy(q_nt))
+        t_mix = torch.where(torch.from_numpy(q_uni[1]) <= 0.9, t_log,
+                            torch.from_numpy(q_uni[0]))
+        t = mod.time_shift_fn(t_mix, 1.0)
+        sched = TLinear()
+        alpha, dalpha = sched.alpha(t), sched.dalpha(t)
+        sigma, dsigma = sched.sigma(t), sched.dsigma(t)
+        noise_t = torch.from_numpy(q_noise)
+        x_t = alpha * torch.from_numpy(x) + sigma * noise_t
+        v_t = dalpha * torch.from_numpy(x) + dsigma * noise_t
+        net_out = tmodel(x_t, t, torch.from_numpy(y))
+        fm_check = float(((net_out - v_t) ** 2).mean())
+        freq_t = float((
+            ttrainer.freq_w
+            * (ttrainer._dct(ttrainer._rgb2ycbcr(net_out))
+               - ttrainer._dct(ttrainer._rgb2ycbcr(v_t))) ** 2
+        ).mean())
+    # the reconstruction must agree with the monkeypatched run
+    np.testing.assert_allclose(fm_check, fm_t, rtol=1e-5)
+
+    # ---- deco_tpu side: monkeypatch the jax draws ----
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda xt, t, yy: jmodel.apply({"params": params}, xt, t, yy)
+    jtrainer = DeCoTrainer(
+        scheduler=LinearScheduler(), lognorm_t=True, timeshift=1.0,
+        enable_freq_loss=True,
+    )
+    j_uni_iter = iter([jnp.asarray(v) for v in q_uni])
+    noise_nhwc = jnp.asarray(q_noise.transpose(0, 2, 3, 1))
+
+    def j_normal(rng, shape=None, dtype=jnp.float32):
+        return jnp.asarray(q_nt) if shape == (batch,) else noise_nhwc
+
+    with mock.patch.object(jax.random, "normal", side_effect=j_normal), \
+            mock.patch.object(
+        jax.random, "uniform",
+        side_effect=lambda rng, shape=None, **k: next(j_uni_iter)):
+        losses = jtrainer._impl_trainstep(
+            jax.random.PRNGKey(0), net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y),
+        )
+    np.testing.assert_allclose(float(losses["fm_loss"]), fm_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(losses["fm_loss_freq"]), freq_t,
+                               rtol=1e-4, atol=1e-6)
