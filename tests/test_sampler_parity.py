@@ -412,3 +412,64 @@ def test_heun_sampling_parity(ref_mods):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
     )
+
+
+def test_jit_euler_sampling_parity(ref_mods):
+    """JiT x-prediction Euler pin: the net output is converted to velocity as
+    (out - x_t)/max(1-t, 5e-2) BEFORE guidance (sampling.py:109-188)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.flow_matching.sampling import (
+        EulerSamplerJiT as TJiT,
+        ode_step_fn,
+    )
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.sampling import EulerSamplerJiT
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(13)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(13)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([2, 5])
+    uncond = np.asarray([10, 10])
+
+    tsampler = TJiT(
+        scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=6, guidance=2.5, timeshift=1.5,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+        step_fn=ode_step_fn,
+    )
+    with torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond),
+        )
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = EulerSamplerJiT(
+        scheduler=LinearScheduler(), num_steps=6, guidance=2.5,
+        timeshift=1.5, guidance_interval_min=0.1, guidance_interval_max=1.0,
+    )
+    out_j = jsampler(
+        net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+        jnp.asarray(labels), jnp.asarray(uncond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
+    )
