@@ -1,10 +1,13 @@
-"""1024px c2i sampling capability probe: 4096 tokens through the Pallas flash path.
+"""Long-sequence c2i sampling capability probe (1024px/4096 tokens and up).
 
-The reference tops out at 512px (1024 tokens); this demonstrates the 1024px
-regime the long-sequence flash kernels target. Measured v5e-1: b2 50-step CFG
-= 0.148 img/s/chip, finite output (attention grows 16x vs 512px).
+The reference tops out at 512px (1024 tokens); this demonstrates the regimes
+the long-sequence flash kernels target. Measured v5e-1: 1024px b2 50-step
+CFG-interval = 0.148 img/s/chip (CFG always-on in that run — the interval
+kwarg was silently dropped pre-fix), finite output.
+
+Usage: python scripts/bench_1024px.py [batch] [res] [steps]
 """
-import os, time
+import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np
 from deco_tpu.models.dit_c2i_deco import DeCoC2I
@@ -14,12 +17,15 @@ from deco_tpu.diffusion.scheduling import LinearScheduler
 model = DeCoC2I(in_channels=3, patch_size=16, num_groups=16, hidden_size=1152,
                 hidden_size_x=32, num_blocks=31, num_cond_blocks=28,
                 num_classes=1000)
-batch, res, steps = 2, 1024, 50
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+steps = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 rng = jax.random.PRNGKey(0)
 x = jnp.zeros((batch, res, res, 3), jnp.float32)
 params = jax.jit(model.init)(rng, x, jnp.zeros((batch,)), jnp.zeros((batch,), jnp.int32))
 sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=steps,
-                       guidance=3.2, guidance_interval=(0.1, 1.0))
+                       guidance=3.2, guidance_interval_min=0.1,
+                       guidance_interval_max=1.0)
 @jax.jit
 def run(p, noise, cond, uncond, r):
     net = lambda xt, t, y: model.apply(p, xt, t, y)
@@ -34,5 +40,5 @@ t0 = time.perf_counter()
 out = run(params, noise + 1e-3, cond, uncond, jax.random.fold_in(rng, 3))
 v = float(jnp.mean(out)); dt = time.perf_counter() - t0
 assert np.isfinite(v)
-print(f"1024px b{batch} {steps}-step CFG: {dt:.2f}s = {batch/dt:.3f} img/s/chip "
-      f"(4096 tokens, compile {compile_s:.0f}s, mean {v:.4f})")
+print(f"{res}px b{batch} {steps}-step CFG: {dt:.2f}s = {batch/dt:.3f} img/s/chip "
+      f"({(res // 16) ** 2} tokens, compile {compile_s:.0f}s, mean {v:.4f})")
