@@ -170,3 +170,137 @@ def test_deco_trainer_loss_and_freq_parity(ref_trainer_mod):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(losses["fm_loss_freq"]), freq_t,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_vp_trainer_loss_parity(ref_trainer_mod):
+    """eps-prediction VP trainer pin (ddpm/training.py:17-49) with injected
+    t/noise draws; continuous VP scheduler, x1000 net timesteps."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.ddpm.scheduling import VPScheduler as TVPSched
+    from src.diffusion.ddpm.training import VPTrainer as TVP
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.scheduling import VPScheduler
+    from deco_tpu.diffusion.training import VPTrainer
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    _, _, dit = ref_trainer_mod
+    tmodel = dit.PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(14)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rs = np.random.RandomState(14)
+    batch = 2
+    x = rs.uniform(-1, 1, (batch, 3, 16, 16)).astype(np.float32)
+    y = np.asarray([3, 6])
+    q_t = rs.uniform(0, 1, batch).astype(np.float32)
+    q_noise = rs.randn(batch, 3, 16, 16).astype(np.float32)
+
+    with mock.patch.object(
+        torch, "rand", side_effect=lambda *s, **k: torch.from_numpy(q_t)), \
+            mock.patch.object(
+        torch, "randn_like",
+        side_effect=lambda t, **k: torch.from_numpy(q_noise)):
+        ttrainer = TVP(scheduler=TVPSched(), lognorm_t=False)
+        with torch.no_grad():
+            out_t = ttrainer._impl_trainstep(
+                tmodel, None, None, torch.from_numpy(x), torch.from_numpy(y))
+    loss_t = float(out_t["loss"])
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda xt, t, yy: jmodel.apply({"params": params}, xt, t, yy)
+    jtrainer = VPTrainer(scheduler=VPScheduler(), lognorm_t=False)
+    noise_nhwc = jnp.asarray(q_noise.transpose(0, 2, 3, 1))
+    with mock.patch.object(
+        jax.random, "normal",
+        side_effect=lambda rng, shape=None, dtype=jnp.float32: noise_nhwc), \
+            mock.patch.object(
+        jax.random, "uniform",
+        side_effect=lambda rng, shape=None, **k: jnp.asarray(q_t)):
+        losses = jtrainer._impl_trainstep(
+            jax.random.PRNGKey(0), net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y))
+    np.testing.assert_allclose(float(losses["loss"]), loss_t,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_ddpm_trainer_loss_parity(ref_trainer_mod):
+    """Discrete-t eps-prediction trainer pin (ddpm/training.py:52-95) with
+    injected integer timesteps and noise; CPU-rebuilt DDPM tables."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.ddpm.scheduling import DDPMScheduler as TSched
+    from src.diffusion.ddpm.training import DDPMTrainer as TDDPM
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.scheduling import DDPMScheduler
+    from deco_tpu.diffusion.training import DDPMTrainer
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    _, _, dit = ref_trainer_mod
+    tmodel = dit.PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(15)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rs = np.random.RandomState(15)
+    batch = 2
+    x = rs.uniform(-1, 1, (batch, 3, 16, 16)).astype(np.float32)
+    y = np.asarray([0, 9])
+    q_t = rs.randint(0, 1000, batch).astype(np.int64)
+    q_noise = rs.randn(batch, 3, 16, 16).astype(np.float32)
+
+    orig_linspace = torch.linspace
+
+    def cpu_linspace(*a, **k):
+        k.pop("device", None)  # upstream hard-codes device="cuda"
+        return orig_linspace(*a, **k)
+
+    with mock.patch.object(torch, "linspace", cpu_linspace):
+        tsched = TSched()
+    with mock.patch.object(
+        torch, "randint",
+        side_effect=lambda *a, **k: torch.from_numpy(q_t)), \
+            mock.patch.object(
+        torch, "randn_like",
+        side_effect=lambda t, **k: torch.from_numpy(q_noise)):
+        ttrainer = TDDPM(scheduler=tsched)
+        with torch.no_grad():
+            out_t = ttrainer._impl_trainstep(
+                tmodel, None, torch.from_numpy(x), torch.from_numpy(y))
+    loss_t = float(out_t["loss"])
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda xt, t, yy: jmodel.apply({"params": params}, xt, t, yy)
+    jtrainer = DDPMTrainer(scheduler=DDPMScheduler())
+    noise_nhwc = jnp.asarray(q_noise.transpose(0, 2, 3, 1))
+    with mock.patch.object(
+        jax.random, "normal",
+        side_effect=lambda rng, shape=None, dtype=jnp.float32: noise_nhwc), \
+            mock.patch.object(
+        jax.random, "randint",
+        side_effect=lambda rng, shape=None, minval=0, maxval=0:
+            jnp.asarray(q_t, jnp.int32)):
+        losses = jtrainer._impl_trainstep(
+            jax.random.PRNGKey(0), net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y))
+    np.testing.assert_allclose(float(losses["loss"]), loss_t,
+                               rtol=1e-4, atol=1e-6)
