@@ -58,7 +58,8 @@ def main(argv=None):
     imp.add_argument("src")
     imp.add_argument("dst")
     imp.add_argument("--model", required=True,
-                     choices=["c2i", "t2i", "uniflow", "vit", "dinov2"])
+                     choices=["c2i", "t2i", "uniflow", "vit", "dinov2",
+                              "reco", "discriminator", "vae_encoder"])
     imp.add_argument("--prefix", default="denoiser.",
                      help="key namespace for c2i/t2i lightning ckpts "
                           "(denoiser. or ema_denoiser.)")
@@ -99,6 +100,21 @@ def main(argv=None):
             from deco_tpu.convert.uniflow_bridge import uniflow_params_from_torch
 
             params = uniflow_params_from_torch(sd, use_ema=args.ema)
+        elif args.model == "reco":
+            from deco_tpu.convert.torch_to_flax import convert_reco, select_prefix
+
+            sd = select_prefix(sd, args.prefix) or sd
+            params = convert_reco(sd)
+        elif args.model == "discriminator":
+            from deco_tpu.convert.torch_to_flax import convert_discriminator, select_prefix
+
+            sd = select_prefix(sd, "discriminator.") or sd
+            params = convert_discriminator(sd)
+        elif args.model == "vae_encoder":
+            from deco_tpu.convert.torch_to_flax import convert_vae_encoder, select_prefix
+
+            sd = select_prefix(sd, "vae_model.") or sd
+            params = convert_vae_encoder(sd)
         elif args.model == "dinov2":
             # torch-hub dinov2_vitb14 layout -> npz for encoders.DINOv2
             from deco_tpu.convert.vit_bridge import dinov2_params_from_torch

@@ -71,3 +71,46 @@ class TestConvertCLI:
         r = _run([], check=False)
         assert r.returncode != 0
         assert "import-torch" in (r.stderr + r.stdout)
+
+
+def test_discriminator_import(tmp_path):
+    """The D tower of a reference VAE-GAN checkpoint imports via the CLI."""
+    from deco_tpu.models.gan.discriminator import NLayerDiscriminator
+
+    tdisc_sd = {}
+    torch.manual_seed(0)
+    # build a reference-layout discriminator state dict from our own export
+    # surface: conv kernels HWIO -> OIHW under the reference key names
+    import jax.numpy as jnp
+
+    jdisc = NLayerDiscriminator(hidden_channels=32, num_stages=2,
+                                dtype=jnp.float32)
+    p = jdisc.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)))["params"]
+
+    def put(tname, node):
+        k = np.asarray(node["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        tdisc_sd[tname + ".weight"] = torch.from_numpy(np.ascontiguousarray(k))
+        tdisc_sd[tname + ".bias"] = torch.from_numpy(
+            np.asarray(node["conv"]["bias"]))
+
+    put("block_in.0", p["block_in"])
+    for i in range(2):
+        put(f"blocks.{i}.0", p[f"stage_{i}_conv"])
+        tdisc_sd[f"blocks.{i}.2.weight"] = torch.from_numpy(
+            np.asarray(p[f"stage_{i}_norm"]["scale"]))
+        tdisc_sd[f"blocks.{i}.2.bias"] = torch.from_numpy(
+            np.asarray(p[f"stage_{i}_norm"]["bias"]))
+    put("to_logits.0", p["head_conv1"])
+    put("to_logits.2", p["head_conv2"])
+
+    src = tmp_path / "disc.pt"
+    torch.save(tdisc_sd, str(src))
+    dst = tmp_path / "disc.msgpack"
+    r = _run(["import-torch", str(src), str(dst), "--model", "discriminator"])
+    assert "discriminator" in r.stdout
+    from flax import serialization
+
+    back = serialization.msgpack_restore(open(dst, "rb").read())
+    np.testing.assert_array_equal(
+        back["block_in"]["conv"]["kernel"], p["block_in"]["conv"]["kernel"])
