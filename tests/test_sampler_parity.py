@@ -473,3 +473,31 @@ def test_jit_euler_sampling_parity(ref_mods):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3
     )
+
+
+def test_lagrange_preint_parity_all_orders(ref_mods):
+    """Lagrange pre-integration parity vs the reference oracle at orders
+    1-4 (pre_integral.py:4-125), random node times and vector values."""
+    import torch
+
+    from deco_tpu.diffusion import pre_integral as ours
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion import pre_integral as ref
+
+    rs = np.random.RandomState(3)
+    for order in (1, 2, 3, 4):
+        ts = np.sort(rs.uniform(0, 1, order)).astype(np.float64)
+        vs = rs.randn(order, 5).astype(np.float64)
+        s, e = 0.3, 0.7
+        r_out, r_coef = ref.lagrange_preint(
+            order, [torch.from_numpy(v) for v in vs],
+            [torch.tensor(t) for t in ts], s, e)
+        j_out, j_coef = ours.lagrange_preint(order, list(vs), list(ts), s, e)
+        np.testing.assert_allclose(
+            np.asarray(j_out), r_out.numpy(), atol=1e-12,
+            err_msg=f"order {order}")
+        np.testing.assert_allclose(
+            np.asarray(j_coef), np.asarray([float(c) for c in r_coef]),
+            atol=1e-12, err_msg=f"coef order {order}")
