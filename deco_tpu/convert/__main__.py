@@ -32,7 +32,15 @@ def _load_torch(path: str):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-    return {k: np.asarray(v) for k, v in sd.items()
+
+    def _np(v):
+        # reference VAE checkpoints carry bf16 DC-AE weights, which numpy
+        # cannot convert directly
+        if isinstance(v, torch.Tensor) and v.dtype == torch.bfloat16:
+            v = v.float()
+        return np.asarray(v)
+
+    return {k: _np(v) for k, v in sd.items()
             if hasattr(v, "shape") or np.isscalar(v)}
 
 
@@ -61,10 +69,11 @@ def main(argv=None):
                      choices=["c2i", "t2i", "uniflow", "vit", "dinov2",
                               "reco", "discriminator", "vae_encoder"])
     imp.add_argument("--prefix", default="denoiser.",
-                     help="key namespace for c2i/t2i lightning ckpts "
+                     help="key namespace for c2i/t2i/reco lightning ckpts "
                           "(denoiser. or ema_denoiser.)")
     imp.add_argument("--ema", action="store_true",
-                     help="uniflow: select the ema_model. namespace")
+                     help="uniflow: select ema_model.; vae_encoder: select "
+                          "ema_vae_model. (the reference's inference copy)")
     imp.add_argument("--in-channels", type=int, default=3)
     imp.add_argument("--patch-size", type=int, default=16)
     imp.add_argument("--num-layers", type=int, default=24,
@@ -108,12 +117,17 @@ def main(argv=None):
         elif args.model == "discriminator":
             from deco_tpu.convert.torch_to_flax import convert_discriminator, select_prefix
 
-            sd = select_prefix(sd, "discriminator.") or sd
+            # VAE-GAN lightning checkpoints nest it under loss_module.
+            sd = (select_prefix(sd, "loss_module.discriminator.")
+                  or select_prefix(sd, "discriminator.") or sd)
             params = convert_discriminator(sd)
         elif args.model == "vae_encoder":
             from deco_tpu.convert.torch_to_flax import convert_vae_encoder, select_prefix
 
-            sd = select_prefix(sd, "vae_model.") or sd
+            # reference treats the EMA copy as the real inference weights
+            # (lightning_model_ae load_ema_as_main)
+            want = "ema_vae_model." if args.ema else "vae_model."
+            sd = select_prefix(sd, want) or sd
             params = convert_vae_encoder(sd)
         elif args.model == "dinov2":
             # torch-hub dinov2_vitb14 layout -> npz for encoders.DINOv2

@@ -64,6 +64,15 @@ class BaseSampler:
         guidance: float = 1.0,
         **kwargs,
     ):
+        if kwargs:
+            # A misspelled kwarg (e.g. guidance_interval= instead of
+            # guidance_interval_min/max) silently sampling with the wrong
+            # CFG is worse than an error — reject unknown names loudly.
+            raise TypeError(
+                f"unknown sampler kwargs: {sorted(kwargs)} "
+                "(did you mean guidance_interval_min/guidance_interval_max, "
+                "timeshift, step_fn, last_step, order, ...?)"
+            )
         self.scheduler = scheduler
         self.guidance_fn = guidance_fn
         self.num_steps = num_steps

@@ -32,3 +32,12 @@ def _clear_jax_caches_per_module():
     import jax
 
     jax.clear_caches()
+
+# make tests/ helpers (ref_stub_util, joint_trunk_util) importable as plain
+# modules regardless of how pytest resolved rootdir/sys.path
+import os as _os
+import sys as _sys
+
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+if _HERE not in _sys.path:
+    _sys.path.insert(0, _HERE)

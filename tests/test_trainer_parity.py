@@ -39,14 +39,13 @@ def ref_trainer_mod():
     torch = pytest.importorskip("torch")
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    try:
-        from tests.ref_stub_util import install_stubs, remove_stubs
-    except ImportError:  # bare pytest puts tests/ itself on sys.path
-        from ref_stub_util import install_stubs, remove_stubs
+    from ref_stub_util import install_stubs, remove_stubs
 
     added = install_stubs(torch)
     # the reference decorates _dct with @torch.compile(); run it eagerly
-    # (inductor-on-CPU is irrelevant to the math being pinned)
+    # (inductor-on-CPU is irrelevant to the math being pinned); restored
+    # on teardown
+    prev_dynamo_disable = torch._dynamo.config.disable
     torch._dynamo.config.disable = True
     import importlib.util
 
@@ -67,6 +66,7 @@ def ref_trainer_mod():
     sys.modules["ref_dit_trainer"] = dit
     spec2.loader.exec_module(dit)
     yield mod, LinearScheduler, dit
+    torch._dynamo.config.disable = prev_dynamo_disable
     remove_stubs(added)
 
 

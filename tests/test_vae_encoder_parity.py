@@ -43,10 +43,7 @@ def _install_diffusers_stub(torch):
     """encoder_ae_sim imports diffusers at module scope; provide the three
     names it touches. AutoencoderDC.from_pretrained returns an object with a
     .decoder (never exercised by the encoder-path pin)."""
-    try:
-        from tests.ref_stub_util import ensure_module
-    except ImportError:  # bare pytest puts tests/ itself on sys.path
-        from ref_stub_util import ensure_module
+    from ref_stub_util import ensure_module
 
     added = []
 
@@ -86,10 +83,7 @@ def ref_vae(tmp_path_factory):
     torch = pytest.importorskip("torch")
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    try:
-        from tests.ref_stub_util import install_stubs, remove_stubs
-    except ImportError:  # bare pytest puts tests/ itself on sys.path
-        from ref_stub_util import install_stubs, remove_stubs
+    from ref_stub_util import install_stubs, remove_stubs
 
     added = install_stubs(torch)
     added += _install_diffusers_stub(torch)

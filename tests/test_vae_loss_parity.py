@@ -28,10 +28,7 @@ def ref_loss():
     torch = pytest.importorskip("torch")
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    try:
-        from tests.ref_stub_util import install_stubs, remove_stubs
-    except ImportError:  # bare pytest puts tests/ itself on sys.path
-        from ref_stub_util import install_stubs, remove_stubs
+    from ref_stub_util import install_stubs, remove_stubs
 
     added = install_stubs(torch)
     from src.models.modules import vae_loss
