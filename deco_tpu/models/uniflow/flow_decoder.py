@@ -11,6 +11,14 @@ TPU design: training is fully vectorized over (B, N) tokens; sampling is a
 ``lax.scan`` with static per-step (t, dt, cfg-on) tables. The reference's
 ``self.mask_token`` is referenced but commented out of ``__init__`` (snapshot
 breakage); here it is a real parameter, used only when cfg != 1.
+
+Documented reconstruction detail: the (unexecutable) reference CFG branch
+passes the raw mask token to the net while the conditional branch passes the
+nerf-EMBEDDED condition (modeling_uniflow.py:893-909 — possible only because
+NerfEmbedder maps z_channels -> z_channels); here the null token goes through
+the same nerf embedding as the condition, so the unconditional branch also
+carries the positional basis. There is no working upstream semantics to
+match (mask_token is absent and the noise draw hard-codes .cuda()).
 """
 
 from __future__ import annotations
