@@ -179,11 +179,10 @@ class EulerSampler(BaseSampler):
         """Map raw network output to a velocity field (identity for v-pred)."""
         return out
 
-    def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
-        batch = noise.shape[0]
-        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
-        steps = {k: jnp.asarray(v) for k, v in self._steps.items()}
-        steps["key"] = jax.random.split(rng, self.num_steps)
+    def _bodies(self, net, batch, noise_dtype, condition, cfg_condition,
+                collect):
+        """The two scan bodies (CFG-doubled / uncond-skip), shared by the
+        single-dispatch scan and :meth:`sample_chunked` segments."""
         needs_noise = self._needs_noise
 
         def step_update(x, v, step):
@@ -202,7 +201,7 @@ class EulerSampler(BaseSampler):
 
         def body_cfg(x, step):
             cfg_x = jnp.concatenate([x, x], axis=0)
-            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
+            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise_dtype)
             out = net(cfg_x, cfg_t, cfg_condition)
             out = self._velocity(out, cfg_x, cfg_t)
             v = self.guidance_fn(out, step["cfg"])
@@ -214,33 +213,47 @@ class EulerSampler(BaseSampler):
             # branch, so the unconditional half of the batch is dead weight —
             # run conditional-only at half cost (guidance-interval steps,
             # sampling.py:93-97).
-            t_vec = jnp.full((batch,), step["t"], dtype=noise.dtype)
+            t_vec = jnp.full((batch,), step["t"], dtype=noise_dtype)
             out = net(x, t_vec, condition)
             v = self._velocity(out, x, t_vec)
             x_next = step_update(x, v, step)
             return x_next, (x_next, v.astype(x.dtype)) if collect else None
 
-        # contiguous segments of cfg==1 at the ends run without the CFG double
+        return {"cfg": body_cfg, "skip": body_uncond_skip}
+
+    def _segment_table(self):
+        """Step-index segments [(start, end, kind)] with kind "skip" for the
+        contiguous cfg==1 stretches at either end (run conditional-only at
+        half cost) and "cfg" for the guidance-interval middle."""
         cfg_active = self._steps["cfg"] != 1.0
         if cfg_active.any():
             lo = int(np.argmax(cfg_active))
             hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
         else:
             lo = hi = self.num_steps
-        segments = [
-            (0, lo, body_uncond_skip),
-            (lo, hi, body_cfg),
-            (hi, self.num_steps, body_uncond_skip),
+        # interior cfg==1 steps (non-contiguous pattern) still go through
+        # the CFG body, which handles them exactly
+        return [
+            (0, lo, "skip"),
+            (lo, hi, "cfg"),
+            (hi, self.num_steps, "skip"),
         ]
+
+    def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
+        batch = noise.shape[0]
+        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
+        steps = {k: jnp.asarray(v) for k, v in self._steps.items()}
+        steps["key"] = jax.random.split(rng, self.num_steps)
+        bodies = self._bodies(net, batch, noise.dtype, condition,
+                              cfg_condition, collect)
+
         x = noise
         ys_parts = []
-        for start, end, body in segments:
+        for start, end, kind in self._segment_table():
             if end <= start:
                 continue
             seg = {k: v[start:end] for k, v in steps.items()}
-            # interior cfg==1 steps (non-contiguous pattern) still go through
-            # the CFG body, which handles them exactly
-            x, ys = jax.lax.scan(body, x, seg)
+            x, ys = jax.lax.scan(bodies[kind], x, seg)
             if collect:
                 ys_parts.append(ys)
         if collect:
@@ -250,6 +263,73 @@ class EulerSampler(BaseSampler):
             v_trajs = jnp.concatenate([vs, jnp.zeros_like(noise)[None]], axis=0)
             return x_trajs, v_trajs
         return x[None], None
+
+    def sample_chunked(self, net, noise, condition, uncondition, rng=None,
+                       num_dispatches=2, params=None):
+        """Run the identical sampling scan as ``num_dispatches`` separately
+        jitted+dispatched segments, chaining the carry on-device.
+
+        Bit-equal to ``__call__`` (same per-step RNG keys, same scan bodies —
+        the split only moves step-range boundaries, which the single-dispatch
+        path already uses for the uncond-skip segments). Use when a serving
+        stack caps single-dispatch wall time: e.g. 2048px/16,384-token 50-step
+        sampling is a ~20s device program that TPU-relay transports kill,
+        while two 25-step dispatches stream through. Trajectories are not
+        collected here — use ``__call__`` for ``return_x_trajs``.
+
+        When ``params`` is given, ``net`` must take ``(params, x, t, y)`` and
+        the parameters ride as jit *arguments* (closing concrete params into
+        the per-segment jits would re-hash/re-upload them per dispatch).
+        Pass the *same* ``net`` callable object across calls — the per-segment
+        jits are cached on the sampler keyed by (net, segment layout), so a
+        fresh lambda per call would retrace every segment every time.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        batch = noise.shape[0]
+        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
+        steps = {k: jnp.asarray(v) for k, v in self._steps.items()}
+        steps["key"] = jax.random.split(rng, self.num_steps)
+        table = self._segment_table()
+        bounds = np.linspace(0, self.num_steps, num_dispatches + 1).astype(int)
+        jit_cache = getattr(self, "_chunk_jit_cache", None)
+        if jit_cache is None:
+            jit_cache = self._chunk_jit_cache = {}
+
+        x = noise
+        for d in range(num_dispatches):
+            lo_d, hi_d = int(bounds[d]), int(bounds[d + 1])
+            pieces = [
+                (max(s, lo_d), min(e, hi_d), kind)
+                for s, e, kind in table
+                if min(e, hi_d) > max(s, lo_d)
+            ]
+            if not pieces:
+                continue
+            kinds = tuple(kind for _, _, kind in pieces)
+            lengths = tuple(e - s for s, e, _ in pieces)
+            cache_key = (id(net), params is None, batch, kinds, lengths)
+            run_segment = jit_cache.get(cache_key)
+            if run_segment is None:
+
+                @jax.jit
+                def run_segment(p, x, cond, cfg_cond, piece_steps,
+                                _kinds=kinds):
+                    bound = net if params is None else (
+                        lambda xt, t, y: net(p, xt, t, y))
+                    bodies = self._bodies(bound, batch, x.dtype, cond,
+                                          cfg_cond, collect=False)
+                    for kind, seg in zip(_kinds, piece_steps):
+                        x, _ = jax.lax.scan(bodies[kind], x, seg)
+                    return x
+
+                jit_cache[cache_key] = run_segment
+
+            piece_steps = tuple(
+                {k: v[s:e] for k, v in steps.items()} for s, e, _ in pieces
+            )
+            x = run_segment(params, x, condition, cfg_condition, piece_steps)
+        return x
 
 
 class EulerSamplerJiT(EulerSampler):

@@ -36,6 +36,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# The resident kernels below keep the full KV (or full Q for dk/dv) in VMEM
+# and stream blocks out of it with pl.ds — the fastest layout for the DeCo
+# regimes (256-8k tokens; measured 27% over XLA at 4096-token bwd). Past
+# ~8k tokens the double-buffered resident tensors blow the ~16MB scoped VMEM
+# limit (measured: 16,384 tokens x 128 lanes x bf16 x (k+v) x 2 buffers =
+# 16.25M > 16.00M), so longer sequences dispatch to the *streaming* kernels:
+# the KV (or Q) axis moves into the grid's innermost "arbitrary" dimension
+# and the online-softmax state lives in fp32 VMEM scratch that persists
+# across grid steps — VMEM use is then constant in N. Equivalence is tested
+# in interpret mode (tests/test_ops.py::TestFlashStreaming).
+_RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _stream_resident(n, d, itemsize):
+    """True when a resident (1, n, d) KV/Q pair would exceed the VMEM budget
+    (2 tensors x 2 pipeline buffers)."""
+    return n * d * itemsize * 4 > _RESIDENT_VMEM_BUDGET
+
+
+_STREAM_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary")
+)
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
     """One program: one q block (BQ, D) vs the full KV (N, D) stream.
@@ -73,6 +96,99 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
+def _fwd_kernel_stream(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
+                       scale, num_kv, lse_ref=None):
+    """Streaming forward: one grid step = one (q block, kv block) pair.
+
+    The kv-block axis is the innermost ("arbitrary") grid dimension; the
+    online-softmax state (m, l, acc) persists in fp32 VMEM scratch across kv
+    steps. m/l are stored lane-replicated at (BQ, 128) per the TPU scratch
+    tiling rules.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_sc[...] = jnp.full(m_sc.shape, NEG_INF, jnp.float32)
+        l_sc[...] = jnp.zeros(l_sc.shape, jnp.float32)
+        acc_sc[...] = jnp.zeros(acc_sc.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                            # (BQ, BK) fp32
+    m_prev = m_sc[...]                                   # (BQ, 128) replicated
+    l_prev = l_sc[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)           # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)                   # (BQ, 128)
+    p = jnp.exp(s - m_new[:, :1])
+    correction = jnp.exp(m_prev - m_new)
+    l_sc[...] = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_sc[...] = acc_sc[...] * correction[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_sc[...] = m_new
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_sc[...] / l_sc[:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_sc[:, 0] + jnp.log(l_sc[:, 0])
+
+
+def _fwd_kernel_stream_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc,
+                           acc_sc, *, scale, num_kv):
+    _fwd_kernel_stream(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
+                       scale=scale, num_kv=num_kv, lse_ref=lse_ref)
+
+
+def _flash_fwd_stream(q, k, v, scale, want_lse):
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
+    block_q, block_k = _pick_blocks(n_q, n_kv)
+    grid = (bh, n_q // block_q, n_kv // block_k)
+    qo_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),   # m (lane-replicated)
+        pltpu.VMEM((block_q, 128), jnp.float32),   # l
+        pltpu.VMEM((block_q, d), jnp.float32),     # acc
+    ]
+    if want_lse:
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_stream_lse, scale=scale,
+                              num_kv=n_kv // block_k),
+            grid=grid,
+            in_specs=[qo_spec, kv_spec, kv_spec],
+            out_specs=[
+                qo_spec,
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, n_q), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=_STREAM_SEMANTICS,
+        )(q, k, v)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_stream, scale=scale,
+                          num_kv=n_kv // block_k),
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=qo_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=_STREAM_SEMANTICS,
+    )(q, k, v)
+
+
 def _pick_blocks(n_q, n_kv):
     block_q = min(n_q, 512)
     while n_q % block_q:
@@ -87,6 +203,8 @@ def _flash_fwd(q, k, v, scale):
     """q/k/v: (BH, N, D_padded) -> o."""
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
+    if _stream_resident(n_kv, d, q.dtype.itemsize):
+        return _flash_fwd_stream(q, k, v, scale, want_lse=False)
     block_q, block_k = _pick_blocks(n_q, n_kv)
     grid = (bh, n_q // block_q)
     kernel = functools.partial(
@@ -149,6 +267,8 @@ def _flash_fwd_lse(q, k, v, scale):
     """Like :func:`_flash_fwd` but returns (o, lse) for the backward."""
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
+    if _stream_resident(n_kv, d, q.dtype.itemsize):
+        return _flash_fwd_stream(q, k, v, scale, want_lse=True)
     block_q, block_k = _pick_blocks(n_q, n_kv)
     grid = (bh, n_q // block_q)
     kernel = functools.partial(
@@ -245,9 +365,124 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_stream(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, acc_sc, *, scale, num_kv):
+    """Streaming dq: kv blocks ride the innermost grid dim; dq accumulates in
+    fp32 scratch across them."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_sc[...] = jnp.zeros(acc_sc.shape, jnp.float32)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta[:, None])).astype(k.dtype)
+    acc_sc[...] = acc_sc[...] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        dq_ref[0] = (acc_sc[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_stream(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dk_ref, dv_ref, dk_sc, dv_sc, *, scale, num_q):
+    """Streaming dk/dv: q blocks ride the innermost grid dim."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_sc[...] = jnp.zeros(dk_sc.shape, jnp.float32)
+        dv_sc[...] = jnp.zeros(dv_sc.shape, jnp.float32)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                            # (BQ, BK)
+    p = jnp.exp(s - lse[:, None])
+    dv_sc[...] = dv_sc[...] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta[:, None])).astype(q.dtype)
+    dk_sc[...] = dk_sc[...] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == num_q - 1)
+    def _finalize():
+        dk_ref[0] = (dk_sc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas_stream(q, k, v, do, lse, delta, scale):
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
+    block_q, block_k = _pick_blocks(n_q, n_kv)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    q_inner = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_inner = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    row_outer = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM)
+    row_inner = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_stream, scale=scale,
+                          num_kv=n_kv // block_k),
+        grid=(bh, n_q // block_q, n_kv // block_k),
+        in_specs=[q_spec, kv_inner, kv_inner, q_spec, row_outer, row_outer],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_STREAM_SEMANTICS,
+    )(q, k, v, do, lse, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_stream, scale=scale,
+                          num_q=n_q // block_q),
+        grid=(bh, n_kv // block_k, n_q // block_q),
+        in_specs=[q_inner, kv_spec, kv_spec, q_inner, row_inner, row_inner],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, n_kv, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, n_kv, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=_STREAM_SEMANTICS,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 def _flash_bwd_pallas(q, k, v, do, lse, delta, scale):
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
+    if (_stream_resident(n_kv, d, q.dtype.itemsize)
+            or _stream_resident(n_q, d, q.dtype.itemsize)):
+        return _flash_bwd_pallas_stream(q, k, v, do, lse, delta, scale)
     block_q, block_k = _pick_blocks(n_q, n_kv)
     qkv_spec = lambda blk: pl.BlockSpec((1, blk, d), lambda b, i: (b, i, 0),
                                         memory_space=pltpu.VMEM)

@@ -20,16 +20,27 @@ model = DeCoC2I(in_channels=3, patch_size=16, num_groups=16, hidden_size=1152,
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+# >0: split the scan into this many separately-dispatched segments via
+# EulerSampler.sample_chunked (needed past ~1024px: the relay transport kills
+# single dispatches beyond ~20s of device time; 2048px/50-step is ~20s+).
+dispatch_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 rng = jax.random.PRNGKey(0)
 x = jnp.zeros((batch, res, res, 3), jnp.float32)
 params = jax.jit(model.init)(rng, x, jnp.zeros((batch,)), jnp.zeros((batch,), jnp.int32))
 sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=steps,
                        guidance=3.2, guidance_interval_min=0.1,
                        guidance_interval_max=1.0)
-@jax.jit
-def run(p, noise, cond, uncond, r):
-    net = lambda xt, t, y: model.apply(p, xt, t, y)
-    return sampler(net, noise, cond, uncond, r)
+net_p = lambda p, xt, t, y: model.apply(p, xt, t, y)
+if dispatch_chunks:
+    def run(p, noise, cond, uncond, r):
+        return sampler.sample_chunked(net_p, noise, cond, uncond, r,
+                                      num_dispatches=dispatch_chunks,
+                                      params=p)
+else:
+    @jax.jit
+    def run(p, noise, cond, uncond, r):
+        net = lambda xt, t, y: model.apply(p, xt, t, y)
+        return sampler(net, noise, cond, uncond, r)
 cond = jnp.zeros((batch,), jnp.int32)
 uncond = jnp.full((batch,), 1000, jnp.int32)
 noise = jax.random.normal(jax.random.fold_in(rng, 1), (batch, res, res, 3))
@@ -40,5 +51,7 @@ t0 = time.perf_counter()
 out = run(params, noise + 1e-3, cond, uncond, jax.random.fold_in(rng, 3))
 v = float(jnp.mean(out)); dt = time.perf_counter() - t0
 assert np.isfinite(v)
+chunk_note = f", {dispatch_chunks} dispatches" if dispatch_chunks else ""
 print(f"{res}px b{batch} {steps}-step CFG: {dt:.2f}s = {batch/dt:.3f} img/s/chip "
-      f"({(res // 16) ** 2} tokens, compile {compile_s:.0f}s, mean {v:.4f})")
+      f"({(res // 16) ** 2} tokens, compile {compile_s:.0f}s, mean {v:.4f}"
+      f"{chunk_note})")

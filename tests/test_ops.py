@@ -90,6 +90,50 @@ class TestFlashAttention:
         )
 
 
+class TestFlashStreaming:
+    """The long-sequence streaming kernels (KV/Q axis in the grid, fp32 VMEM
+    scratch accumulators) must be equivalent to the resident kernels they
+    replace past the VMEM budget. Measured trigger: 16,384 tokens blows the
+    ~16MB scoped VMEM limit with the resident layout (2048px sampling)."""
+
+    def _qkv(self, n_q=128, n_kv=192, h=2, d=72):
+        rng = np.random.RandomState(11)
+        q = jnp.asarray(rng.randn(2, n_q, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(2, n_kv, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(2, n_kv, h, d), jnp.float32)
+        return q, k, v
+
+    def test_streaming_forward_matches_resident(self, monkeypatch):
+        from deco_tpu.ops import flash_attention as fa
+
+        q, k, v = self._qkv()
+        with pltpu.force_tpu_interpret_mode():
+            o_res = flash_attention(q, k, v)
+        monkeypatch.setattr(fa, "_RESIDENT_VMEM_BUDGET", 1)
+        with pltpu.force_tpu_interpret_mode():
+            o_str = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(o_str), np.asarray(o_res),
+                                   atol=1e-6)
+
+    def test_streaming_backward_matches_resident(self, monkeypatch):
+        from deco_tpu.ops import flash_attention as fa
+
+        q, k, v = self._qkv()
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        monkeypatch.setenv("DECO_FLASH_BWD", "pallas")
+        with pltpu.force_tpu_interpret_mode():
+            g_res = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setattr(fa, "_RESIDENT_VMEM_BUDGET", 1)
+        with pltpu.force_tpu_interpret_mode():
+            g_str = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_str, g_res):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 class TestFreqMSEPallas:
     def test_matches_xla(self):
         rng = np.random.RandomState(4)

@@ -134,6 +134,64 @@ class TestEuler:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestChunkedDispatch:
+    """sample_chunked must be bit-equal to the single-dispatch __call__ —
+    same per-step RNG keys and scan bodies; the split only adds step-range
+    boundaries (used on-chip where the relay kills >~20s dispatches,
+    e.g. 2048px/16,384-token sampling)."""
+
+    def _net(self):
+        # a non-trivial net so any step mis-ordering shows: v depends on x, t, y
+        def net(x, t, y):
+            return -0.3 * x + t[:, None, None, None] + 0.01 * y.astype(
+                x.dtype)[:, None, None, None]
+
+        return net
+
+    @pytest.mark.parametrize("num_dispatches", [2, 3, 7])
+    def test_matches_single_dispatch(self, num_dispatches):
+        sampler = EulerSampler(
+            scheduler=LinearScheduler(), num_steps=20, guidance=2.5,
+            guidance_interval_min=0.1, guidance_interval_max=0.9,
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        cond = jnp.arange(SHAPE[0], dtype=jnp.int32)
+        uncond = jnp.full((SHAPE[0],), 7, jnp.int32)
+        rng = jax.random.PRNGKey(3)
+        ref = sampler(self._net(), noise, cond, uncond, rng)
+        got = sampler.sample_chunked(self._net(), noise, cond, uncond, rng,
+                                     num_dispatches=num_dispatches)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_sde_path_same_noise_stream(self):
+        sampler = EulerSampler(
+            scheduler=LinearScheduler(), w_scheduler=LinearScheduler(),
+            num_steps=12, guidance=1.5, step_fn="sde",
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        cond = jnp.zeros((SHAPE[0],), jnp.int32)
+        uncond = jnp.ones((SHAPE[0],), jnp.int32)
+        rng = jax.random.PRNGKey(9)
+        ref = sampler(self._net(), noise, cond, uncond, rng)
+        got = sampler.sample_chunked(self._net(), noise, cond, uncond, rng,
+                                     num_dispatches=4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_params_as_arguments_form(self):
+        sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=8,
+                               guidance=2.0)
+        noise = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+        cond = jnp.zeros((SHAPE[0],), jnp.int32)
+        uncond = jnp.ones((SHAPE[0],), jnp.int32)
+        scale = jnp.asarray(0.7)
+        net_p = lambda p, x, t, y: p * self._net()(x, t, y)
+        ref = sampler(lambda x, t, y: net_p(scale, x, t, y), noise, cond,
+                      uncond)
+        got = sampler.sample_chunked(net_p, noise, cond, uncond,
+                                     num_dispatches=2, params=scale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestJiT:
     def test_xpred_recovers_velocity(self):
         """x-pred net returning x1 must yield the same flow as v-pred (x1-x0)/(1-0)."""
