@@ -206,7 +206,7 @@ def _freq_mse_kernel(diff_ref, ycc_ref, cmat_ref, w_ref, acc_ref, *, n_blocks_w)
     weighted = w[:, None] * col_t**2
     total = jnp.sum(weighted)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         acc_ref[0, 0] = jnp.zeros((), jnp.float32)
 
@@ -224,20 +224,28 @@ def frequency_weighted_mse_pallas(diff, freq_w, interpret: bool = False):
     assert c == 3 and h % BLOCK == 0 and w % BLOCK == 0
     n_strips = b * (h // BLOCK)
     x = diff.reshape(n_strips, BLOCK, w, c)
+    # Strips wider than ~1k columns tile over W too: the kernel's channel-major
+    # intermediates scale with the strip width and blow the ~16MB scoped VMEM
+    # limit at 2048px (measured 17.56M > 16.00M during the 2048px train probe).
+    wc = w
+    while wc > 1024 and wc % 2 == 0 and (wc // 2) % BLOCK == 0:
+        wc //= 2
 
-    kernel = functools.partial(_freq_mse_kernel, n_blocks_w=w // BLOCK)
+    kernel = functools.partial(_freq_mse_kernel, n_blocks_w=wc // BLOCK)
     acc = pl.pallas_call(
         kernel,
-        grid=(n_strips,),
+        grid=(n_strips, w // wc),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, BLOCK, wc, c), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK, BLOCK), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, BLOCK), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK, BLOCK), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
     )(
