@@ -106,16 +106,37 @@ class AdamLMSampler(BaseSampler):
         )
         self._cfg_per_step = np.where(in_interval, self.guidance, 1.0).astype(np.float32)
 
-    def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
-        batch = noise.shape[0]
-        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
-        steps = dict(
+    def _scan_steps(self, rng):
+        del rng  # ODE multistep — no per-step noise
+        return dict(
             t=jnp.asarray(self.timesteps[:-1], jnp.float32),
             dt=jnp.asarray(self.timedeltas, jnp.float32),
             cfg=jnp.asarray(self._cfg_per_step),
             coeffs=jnp.asarray(self.solver_coeffs),
         )
 
+    def _segment_table(self):
+        cfg_active = self._cfg_per_step != 1.0
+        if cfg_active.any():
+            lo = int(np.argmax(cfg_active))
+            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
+        else:
+            lo = hi = self.num_steps
+        return [
+            (0, lo, "skip"),
+            (lo, hi, "cfg"),
+            (hi, self.num_steps, "skip"),
+        ]
+
+    def _init_carry(self, noise):
+        history0 = jnp.zeros((self.order,) + noise.shape, noise.dtype)
+        return (noise, history0)
+
+    def _carry_x(self, carry):
+        return carry[0]
+
+    def _bodies(self, net, batch, noise_dtype, condition, cfg_condition,
+                collect):
         def advance(carry, pred, step):
             x, history = carry
             # push newest prediction into the last ring-buffer slot
@@ -127,7 +148,7 @@ class AdamLMSampler(BaseSampler):
         def body_cfg(carry, step):
             x = carry[0]
             cfg_x = jnp.concatenate([x, x], axis=0)
-            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise.dtype)
+            cfg_t = jnp.full((2 * batch,), step["t"], dtype=noise_dtype)
             out = net(cfg_x, cfg_t, cfg_condition)
             pred = self.guidance_fn(out, step["cfg"]).astype(x.dtype)
             carry, v = advance(carry, pred, step)
@@ -137,30 +158,27 @@ class AdamLMSampler(BaseSampler):
             # cfg == 1 steps (t=0 first step, interval edges): guidance
             # reduces to the conditional branch — half-cost net call
             x = carry[0]
-            t_vec = jnp.full((batch,), step["t"], dtype=noise.dtype)
+            t_vec = jnp.full((batch,), step["t"], dtype=noise_dtype)
             pred = net(x, t_vec, condition).astype(x.dtype)
             carry, v = advance(carry, pred, step)
             return carry, (carry[0], v) if collect else None
 
-        cfg_active = self._cfg_per_step != 1.0
-        if cfg_active.any():
-            lo = int(np.argmax(cfg_active))
-            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
-        else:
-            lo = hi = self.num_steps
-        segments = [
-            (0, lo, body_uncond_skip),
-            (lo, hi, body_cfg),
-            (hi, self.num_steps, body_uncond_skip),
-        ]
-        history0 = jnp.zeros((self.order,) + noise.shape, noise.dtype)
-        carry = (noise, history0)
+        return {"cfg": body_cfg, "skip": body_uncond_skip}
+
+    def _impl_sampling(self, net, noise, condition, uncondition, rng,
+                       collect=False):
+        batch = noise.shape[0]
+        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
+        steps = self._scan_steps(rng)
+        bodies = self._bodies(net, batch, noise.dtype, condition,
+                              cfg_condition, collect)
+        carry = self._init_carry(noise)
         ys_parts = []
-        for start, end, body in segments:
+        for start, end, kind in self._segment_table():
             if end <= start:
                 continue
             seg = {k: v[start:end] for k, v in steps.items()}
-            carry, ys = jax.lax.scan(body, carry, seg)
+            carry, ys = jax.lax.scan(bodies[kind], carry, seg)
             if collect:
                 ys_parts.append(ys)
         x_final = carry[0]

@@ -81,6 +81,93 @@ class BaseSampler:
     def _impl_sampling(self, net, noise, condition, uncondition, rng):
         raise NotImplementedError
 
+    # ---- chunked-dispatch support (implemented by Euler/AdamLM samplers) ----
+
+    def _bodies(self, net, batch, noise_dtype, condition, cfg_condition,
+                collect):
+        raise NotImplementedError
+
+    def _segment_table(self):
+        raise NotImplementedError
+
+    def _scan_steps(self, rng):
+        """Per-step scan arrays (dict of (num_steps, ...) leaves)."""
+        raise NotImplementedError
+
+    def _init_carry(self, noise):
+        return noise
+
+    def _carry_x(self, carry):
+        return carry
+
+    def sample_chunked(self, net, noise, condition, uncondition, rng=None,
+                       num_dispatches=2, params=None):
+        """Run the identical sampling scan as ``num_dispatches`` separately
+        jitted+dispatched segments, chaining the carry on-device.
+
+        Bit-equal to ``__call__`` (same per-step RNG keys, same scan bodies —
+        the split only moves step-range boundaries, which the single-dispatch
+        path already uses for the uncond-skip segments). Use when a serving
+        stack caps single-dispatch wall time: e.g. 2048px/16,384-token 50-step
+        sampling is a ~90s device program that TPU-relay transports kill,
+        while 25-step segments stream through. Trajectories are not collected
+        here — use ``__call__`` for ``return_x_trajs``.
+
+        When ``params`` is given, ``net`` must take ``(params, x, t, y)`` and
+        the parameters ride as jit *arguments* (closing concrete params into
+        the per-segment jits would re-hash/re-upload them per dispatch).
+        Pass the *same* ``net`` callable object across calls — the per-segment
+        jits are cached on the sampler keyed by (net, segment layout), so a
+        fresh lambda per call would retrace every segment every time.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        batch = noise.shape[0]
+        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
+        steps = self._scan_steps(rng)
+        table = self._segment_table()
+        bounds = np.linspace(0, self.num_steps, num_dispatches + 1).astype(int)
+        jit_cache = getattr(self, "_chunk_jit_cache", None)
+        if jit_cache is None:
+            jit_cache = self._chunk_jit_cache = {}
+
+        carry = self._init_carry(noise)
+        for d in range(num_dispatches):
+            lo_d, hi_d = int(bounds[d]), int(bounds[d + 1])
+            pieces = [
+                (max(s, lo_d), min(e, hi_d), kind)
+                for s, e, kind in table
+                if min(e, hi_d) > max(s, lo_d)
+            ]
+            if not pieces:
+                continue
+            kinds = tuple(kind for _, _, kind in pieces)
+            lengths = tuple(e - s for s, e, _ in pieces)
+            cache_key = (id(net), params is None, batch, kinds, lengths)
+            run_segment = jit_cache.get(cache_key)
+            if run_segment is None:
+
+                @jax.jit
+                def run_segment(p, carry, cond, cfg_cond, piece_steps,
+                                _kinds=kinds):
+                    bound = net if params is None else (
+                        lambda xt, t, y: net(p, xt, t, y))
+                    x0 = self._carry_x(carry)
+                    bodies = self._bodies(bound, batch, x0.dtype, cond,
+                                          cfg_cond, collect=False)
+                    for kind, seg in zip(_kinds, piece_steps):
+                        carry, _ = jax.lax.scan(bodies[kind], carry, seg)
+                    return carry
+
+                jit_cache[cache_key] = run_segment
+
+            piece_steps = tuple(
+                {k: v[s:e] for k, v in steps.items()} for s, e, _ in pieces
+            )
+            carry = run_segment(params, carry, condition, cfg_condition,
+                                piece_steps)
+        return self._carry_x(carry)
+
     def __call__(
         self,
         net,
@@ -264,72 +351,10 @@ class EulerSampler(BaseSampler):
             return x_trajs, v_trajs
         return x[None], None
 
-    def sample_chunked(self, net, noise, condition, uncondition, rng=None,
-                       num_dispatches=2, params=None):
-        """Run the identical sampling scan as ``num_dispatches`` separately
-        jitted+dispatched segments, chaining the carry on-device.
-
-        Bit-equal to ``__call__`` (same per-step RNG keys, same scan bodies —
-        the split only moves step-range boundaries, which the single-dispatch
-        path already uses for the uncond-skip segments). Use when a serving
-        stack caps single-dispatch wall time: e.g. 2048px/16,384-token 50-step
-        sampling is a ~20s device program that TPU-relay transports kill,
-        while two 25-step dispatches stream through. Trajectories are not
-        collected here — use ``__call__`` for ``return_x_trajs``.
-
-        When ``params`` is given, ``net`` must take ``(params, x, t, y)`` and
-        the parameters ride as jit *arguments* (closing concrete params into
-        the per-segment jits would re-hash/re-upload them per dispatch).
-        Pass the *same* ``net`` callable object across calls — the per-segment
-        jits are cached on the sampler keyed by (net, segment layout), so a
-        fresh lambda per call would retrace every segment every time.
-        """
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        batch = noise.shape[0]
-        cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
+    def _scan_steps(self, rng):
         steps = {k: jnp.asarray(v) for k, v in self._steps.items()}
         steps["key"] = jax.random.split(rng, self.num_steps)
-        table = self._segment_table()
-        bounds = np.linspace(0, self.num_steps, num_dispatches + 1).astype(int)
-        jit_cache = getattr(self, "_chunk_jit_cache", None)
-        if jit_cache is None:
-            jit_cache = self._chunk_jit_cache = {}
-
-        x = noise
-        for d in range(num_dispatches):
-            lo_d, hi_d = int(bounds[d]), int(bounds[d + 1])
-            pieces = [
-                (max(s, lo_d), min(e, hi_d), kind)
-                for s, e, kind in table
-                if min(e, hi_d) > max(s, lo_d)
-            ]
-            if not pieces:
-                continue
-            kinds = tuple(kind for _, _, kind in pieces)
-            lengths = tuple(e - s for s, e, _ in pieces)
-            cache_key = (id(net), params is None, batch, kinds, lengths)
-            run_segment = jit_cache.get(cache_key)
-            if run_segment is None:
-
-                @jax.jit
-                def run_segment(p, x, cond, cfg_cond, piece_steps,
-                                _kinds=kinds):
-                    bound = net if params is None else (
-                        lambda xt, t, y: net(p, xt, t, y))
-                    bodies = self._bodies(bound, batch, x.dtype, cond,
-                                          cfg_cond, collect=False)
-                    for kind, seg in zip(_kinds, piece_steps):
-                        x, _ = jax.lax.scan(bodies[kind], x, seg)
-                    return x
-
-                jit_cache[cache_key] = run_segment
-
-            piece_steps = tuple(
-                {k: v[s:e] for k, v in steps.items()} for s, e, _ in pieces
-            )
-            x = run_segment(params, x, condition, cfg_condition, piece_steps)
-        return x
+        return steps
 
 
 class EulerSamplerJiT(EulerSampler):

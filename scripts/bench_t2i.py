@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=4, steps=25, size=512):
+def main(batch=4, steps=25, size=512, dispatch_chunks=0):
     from deco_tpu.config.registry import load_yaml, instantiate
 
     cfg = load_yaml("/root/repo/configs_t2i/sft_res512.yaml")
@@ -34,10 +34,21 @@ def main(batch=4, steps=25, size=512):
     y = jnp.zeros((batch, txt_len, txt_dim), jnp.float32)
     params = jax.jit(model.init)(rng, x, t, y)
 
-    @jax.jit
-    def sample(params, noise, cond, uncond, rng):
-        net = lambda xt, t, yy: model.apply(params, xt, t, yy)
-        return sampler(net, noise, cond, uncond, rng=rng)
+    net_p = lambda p, xt, t, yy: model.apply(p, xt, t, yy)
+
+    if dispatch_chunks:
+        # split the AdamLM scan into separately-dispatched segments (the
+        # relay kills single dispatches past ~50s device time; needed for
+        # the 2048px/16,384-token probe)
+        def sample(params, noise, cond, uncond, rng):
+            return sampler.sample_chunked(
+                net_p, noise, cond, uncond, rng,
+                num_dispatches=dispatch_chunks, params=params)
+    else:
+        @jax.jit
+        def sample(params, noise, cond, uncond, rng):
+            net = lambda xt, t, yy: model.apply(params, xt, t, yy)
+            return sampler(net, noise, cond, uncond, rng=rng)
 
     def run(seed):
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -55,10 +66,12 @@ def main(batch=4, steps=25, size=512):
     for i in range(n):
         run(i + 1)
     dt = (time.perf_counter() - t0) / n
+    note = f", {dispatch_chunks} dispatches" if dispatch_chunks else ""
     print(f"t2i {size}px batch={batch} AdamLM-{steps}: {dt:.2f} s/batch = "
-          f"{batch/dt:.3f} img/s/chip  (compile+1st {compile_s:.1f}s)")
+          f"{batch/dt:.3f} img/s/chip  (compile+1st {compile_s:.1f}s{note})")
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4,
-         size=int(sys.argv[2]) if len(sys.argv) > 2 else 512)
+         size=int(sys.argv[2]) if len(sys.argv) > 2 else 512,
+         dispatch_chunks=int(sys.argv[3]) if len(sys.argv) > 3 else 0)

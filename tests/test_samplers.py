@@ -177,6 +177,21 @@ class TestChunkedDispatch:
                                      num_dispatches=4)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_adamlm_matches_single_dispatch(self):
+        """The ring-buffer history carry must survive dispatch boundaries."""
+        sampler = AdamLMSampler(
+            scheduler=LinearScheduler(), num_steps=15, order=3,
+            guidance=4.0, timeshift=3.0,
+            guidance_interval_min=0.1, guidance_interval_max=0.9,
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(4), SHAPE)
+        cond = jnp.arange(SHAPE[0], dtype=jnp.int32)
+        uncond = jnp.full((SHAPE[0],), 7, jnp.int32)
+        ref = sampler(self._net(), noise, cond, uncond)
+        got = sampler.sample_chunked(self._net(), noise, cond, uncond,
+                                     num_dispatches=4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_params_as_arguments_form(self):
         sampler = EulerSampler(scheduler=LinearScheduler(), num_steps=8,
                                guidance=2.0)
