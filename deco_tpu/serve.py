@@ -42,8 +42,10 @@ class Pipeline:
         self.base_resolution = base_resolution
         self._jit_cache = {}
 
-    def _get_sampler_fn(self, height, width, num_steps, order, cfg, timeshift):
-        key = (height, width, num_steps, order, cfg, timeshift)
+    def _get_sampler_fn(self, height, width, num_steps, order, cfg, timeshift,
+                        dispatch_chunks=0):
+        key = (height, width, num_steps, order, cfg, timeshift,
+               dispatch_chunks)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sampler = AdamLMSampler(
@@ -56,6 +58,22 @@ class Pipeline:
         model = dataclasses.replace(
             self.denoiser, patch_scaling_hw=(scale_h, scale_w)
         ) if hasattr(self.denoiser, "patch_scaling_hw") else self.denoiser
+
+        if dispatch_chunks:
+            # very large canvases (1536px+): split the sampling scan into
+            # separately-dispatched segments so transports that cap
+            # single-dispatch wall time (e.g. TPU relays at ~50s) survive;
+            # bit-equal to the single-dispatch path. No trajectories.
+            net_p = lambda p, x, t, y: model.apply(p, x, t, y)
+
+            def run(params, noise, cond, uncond, rng):
+                out = sampler.sample_chunked(
+                    net_p, noise, cond, uncond, rng,
+                    num_dispatches=dispatch_chunks, params=params)
+                return out, out[None]
+
+            self._jit_cache[key] = run
+            return run
 
         @jax.jit
         def run(params, noise, cond, uncond, rng):
@@ -79,16 +97,21 @@ class Pipeline:
         timeshift: float = 3.0,
         seed: int = 0,
         return_trajectories: bool = False,
+        dispatch_chunks: int = 0,
     ):
         height = max((height // 32) * 32, 32)
         width = max((width // 32) * 32, 32)
+        if dispatch_chunks and return_trajectories:
+            raise ValueError(
+                "dispatch_chunks does not collect trajectories; "
+                "use dispatch_chunks=0 for trajectory GIFs")
         metadata = {"negative_prompt": negative_prompt}
         cond, uncond = self.conditioner(prompts, metadata)
         noise = jax.random.normal(
             jax.random.PRNGKey(seed), (len(prompts), height, width, 3)
         )
         run = self._get_sampler_fn(height, width, num_steps, order, cfg,
-                                   timeshift)
+                                   timeshift, dispatch_chunks)
         out, x_trajs = run(self.params, noise, cond, uncond,
                            jax.random.PRNGKey(seed + 1))
         imgs = np.asarray(fp_to_uint8(self.vae.decode(out)))

@@ -51,6 +51,17 @@ class TestPipeline:
         )
         assert len(gifs) == 1 and len(gifs[0]) == 4  # noise + 3 steps
 
+    def test_dispatch_chunks_matches_single(self, pipeline):
+        """Pipeline(dispatch_chunks=N) must produce the same images as the
+        single-dispatch path (the large-canvas serving mode)."""
+        a = pipeline(["a cat"], height=32, width=32, num_steps=4, cfg=2.0)
+        b = pipeline(["a cat"], height=32, width=32, num_steps=4, cfg=2.0,
+                     dispatch_chunks=2)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        with pytest.raises(ValueError):
+            pipeline(["a cat"], height=32, width=32, num_steps=2,
+                     dispatch_chunks=2, return_trajectories=True)
+
     def test_resolution_rounding(self, pipeline):
         imgs = pipeline(["x"], height=45, width=37, num_steps=2, cfg=1.5)
         assert imgs[0].size == (32, 32)  # rounded down to /32
