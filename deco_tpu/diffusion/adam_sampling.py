@@ -115,18 +115,8 @@ class AdamLMSampler(BaseSampler):
             coeffs=jnp.asarray(self.solver_coeffs),
         )
 
-    def _segment_table(self):
-        cfg_active = self._cfg_per_step != 1.0
-        if cfg_active.any():
-            lo = int(np.argmax(cfg_active))
-            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
-        else:
-            lo = hi = self.num_steps
-        return [
-            (0, lo, "skip"),
-            (lo, hi, "cfg"),
-            (hi, self.num_steps, "skip"),
-        ]
+    def _cfg_array(self):
+        return self._cfg_per_step
 
     def _init_carry(self, noise):
         history0 = jnp.zeros((self.order,) + noise.shape, noise.dtype)

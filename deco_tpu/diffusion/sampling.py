@@ -87,8 +87,27 @@ class BaseSampler:
                 collect):
         raise NotImplementedError
 
-    def _segment_table(self):
+    def _cfg_array(self):
+        """The (num_steps,) per-step cfg scales (for _segment_table)."""
         raise NotImplementedError
+
+    def _segment_table(self):
+        """Step-index segments [(start, end, kind)] with kind "skip" for the
+        contiguous cfg==1 stretches at either end (run conditional-only at
+        half cost) and "cfg" for the guidance-interval middle. Interior
+        cfg==1 steps (non-contiguous patterns) still go through the CFG
+        body, which handles them exactly."""
+        cfg_active = np.asarray(self._cfg_array()) != 1.0
+        if cfg_active.any():
+            lo = int(np.argmax(cfg_active))
+            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
+        else:
+            lo = hi = self.num_steps
+        return [
+            (0, lo, "skip"),
+            (lo, hi, "cfg"),
+            (hi, self.num_steps, "skip"),
+        ]
 
     def _scan_steps(self, rng):
         """Per-step scan arrays (dict of (num_steps, ...) leaves)."""
@@ -120,6 +139,12 @@ class BaseSampler:
         jits are cached on the sampler keyed by (net, segment layout), so a
         fresh lambda per call would retrace every segment every time.
         """
+        if num_dispatches < 1:
+            # num_dispatches=0 would skip the loop and return raw noise —
+            # garbage presented as a sample. Fail loudly instead.
+            raise ValueError(
+                f"num_dispatches={num_dispatches}: need >= 1 (use the plain "
+                "__call__ for a single dispatch)")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         batch = noise.shape[0]
@@ -160,6 +185,12 @@ class BaseSampler:
                     return carry
 
                 jit_cache[cache_key] = run_segment
+                # bound the cache: each jit closure pins its net (and, in
+                # params=None mode, any concrete params closed inside it) —
+                # a long-lived server cycling nets/batch sizes must not leak
+                # executables. FIFO eviction; 32 >> any static serving mix.
+                while len(jit_cache) > 32:
+                    jit_cache.pop(next(iter(jit_cache)))
 
             piece_steps = tuple(
                 {k: v[s:e] for k, v in steps.items()} for s, e, _ in pieces
@@ -308,29 +339,13 @@ class EulerSampler(BaseSampler):
 
         return {"cfg": body_cfg, "skip": body_uncond_skip}
 
-    def _segment_table(self):
-        """Step-index segments [(start, end, kind)] with kind "skip" for the
-        contiguous cfg==1 stretches at either end (run conditional-only at
-        half cost) and "cfg" for the guidance-interval middle."""
-        cfg_active = self._steps["cfg"] != 1.0
-        if cfg_active.any():
-            lo = int(np.argmax(cfg_active))
-            hi = int(len(cfg_active) - np.argmax(cfg_active[::-1]))
-        else:
-            lo = hi = self.num_steps
-        # interior cfg==1 steps (non-contiguous pattern) still go through
-        # the CFG body, which handles them exactly
-        return [
-            (0, lo, "skip"),
-            (lo, hi, "cfg"),
-            (hi, self.num_steps, "skip"),
-        ]
+    def _cfg_array(self):
+        return self._steps["cfg"]
 
     def _impl_sampling(self, net, noise, condition, uncondition, rng, collect=False):
         batch = noise.shape[0]
         cfg_condition = jnp.concatenate([uncondition, condition], axis=0)
-        steps = {k: jnp.asarray(v) for k, v in self._steps.items()}
-        steps["key"] = jax.random.split(rng, self.num_steps)
+        steps = self._scan_steps(rng)
         bodies = self._bodies(net, batch, noise.dtype, condition,
                               cfg_condition, collect)
 

@@ -62,8 +62,11 @@ class Pipeline:
         if dispatch_chunks:
             # very large canvases (1536px+): split the sampling scan into
             # separately-dispatched segments so transports that cap
-            # single-dispatch wall time (e.g. TPU relays at ~50s) survive;
-            # bit-equal to the single-dispatch path. No trajectories.
+            # single-dispatch wall time (e.g. TPU relays at ~50s) survive.
+            # Bit-equal to a collect=False single dispatch (tested at the
+            # sampler level); vs THIS class's default path — which compiles
+            # a different XLA program to collect trajectories — expect
+            # program-level rounding only. No trajectories here.
             net_p = lambda p, x, t, y: model.apply(p, x, t, y)
 
             def run(params, noise, cond, uncond, rng):

@@ -22,7 +22,8 @@ res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 # >0: split the scan into this many separately-dispatched segments via
 # EulerSampler.sample_chunked (needed past ~1024px: the relay transport kills
-# single dispatches beyond ~20s of device time; 2048px/50-step is ~20s+).
+# single dispatches beyond ~45-55s of device time — measured 30-step=54s
+# crashed / 25-step=45s ran; 2048px/50-step is ~90s at 1.8 s/step).
 dispatch_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 rng = jax.random.PRNGKey(0)
 x = jnp.zeros((batch, res, res, 3), jnp.float32)

@@ -96,11 +96,15 @@ class TestFlashStreaming:
     replace past the VMEM budget. Measured trigger: 16,384 tokens blows the
     ~16MB scoped VMEM limit with the resident layout (2048px sampling)."""
 
-    def _qkv(self, n_q=128, n_kv=192, h=2, d=72):
+    def _qkv(self, n_q=640, n_kv=640, h=2, d=72):
+        # 640 tokens -> _pick_blocks gives 128-wide blocks -> FIVE inner
+        # grid steps: the cross-block scratch carry (m/l rescaling, the
+        # init/finalize @pl.when split) actually executes at j>0. Smaller
+        # shapes collapse to a single block and never test the recurrence.
         rng = np.random.RandomState(11)
-        q = jnp.asarray(rng.randn(2, n_q, h, d), jnp.float32)
-        k = jnp.asarray(rng.randn(2, n_kv, h, d), jnp.float32)
-        v = jnp.asarray(rng.randn(2, n_kv, h, d), jnp.float32)
+        q = jnp.asarray(rng.randn(1, n_q, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(1, n_kv, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(1, n_kv, h, d), jnp.float32)
         return q, k, v
 
     def test_streaming_forward_matches_resident(self, monkeypatch):
@@ -138,6 +142,18 @@ class TestFreqMSEPallas:
     def test_matches_xla(self):
         rng = np.random.RandomState(4)
         diff = jnp.asarray(rng.randn(2, 16, 24, 3), jnp.float32)
+        w = block_dct.build_freq_weight()
+        with pltpu.force_tpu_interpret_mode():
+            got = block_dct.frequency_weighted_mse_pallas(diff, w)
+        want = block_dct.frequency_weighted_mse_xla(diff, w)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_wide_strips_tile_over_w(self):
+        """w > 1024 activates the W-tiled grid (the 2048px training path);
+        the accumulator-init guard must only fire at (0, 0) — a wrong guard
+        would reset the partial sum every strip and pass the narrow test."""
+        rng = np.random.RandomState(6)
+        diff = jnp.asarray(rng.randn(1, 16, 2048, 3), jnp.float32)
         w = block_dct.build_freq_weight()
         with pltpu.force_tpu_interpret_mode():
             got = block_dct.frequency_weighted_mse_pallas(diff, w)

@@ -53,11 +53,17 @@ class TestPipeline:
 
     def test_dispatch_chunks_matches_single(self, pipeline):
         """Pipeline(dispatch_chunks=N) must produce the same images as the
-        single-dispatch path (the large-canvas serving mode)."""
+        single-dispatch path (the large-canvas serving mode). The reference
+        path compiles a *different* XLA program (it collects trajectories),
+        so allow 1 uint8 LSB of program-level rounding — exact chunked ==
+        single equality is asserted at the sampler level in
+        test_samplers.py::TestChunkedDispatch, where both sides run the
+        same collect=False bodies."""
         a = pipeline(["a cat"], height=32, width=32, num_steps=4, cfg=2.0)
         b = pipeline(["a cat"], height=32, width=32, num_steps=4, cfg=2.0,
                      dispatch_chunks=2)
-        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(
+            np.asarray(a[0], np.int16), np.asarray(b[0], np.int16), atol=1)
         with pytest.raises(ValueError):
             pipeline(["a cat"], height=32, width=32, num_steps=2,
                      dispatch_chunks=2, return_trajectories=True)
