@@ -1,1 +1,1 @@
-from deco_tpu.models.gan import discriminator, vae_loss
+from deco_tpu.models.gan import adv_head, discriminator, vae_loss

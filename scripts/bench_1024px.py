@@ -7,6 +7,11 @@ kwarg was silently dropped pre-fix), finite output.
 
 Usage: python scripts/bench_1024px.py [batch] [res] [steps]
 """
+
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

@@ -14,6 +14,11 @@ Each timed iteration folds the gradient back into the params (state-mutating)
 and reads back a scalar, so the relay cannot elide repeats.
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -9,6 +9,11 @@ extrapolating t2i RoPE enables (reference demo app.py:91-94 tops out at
 512px + patch scaling; there is no upstream 1024px t2i number).
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -7,6 +7,11 @@ relay cannot elide repeats; timing is wall-clock across N steps with a final
 readback.
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -18,6 +18,11 @@ params stay fp32). Reference trains this model multi-node DDP
 (train.sh:22-23) and never publishes a single-accelerator number.
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -11,6 +11,11 @@ and prepends a provenance header. Files that already exist in the repo
 Usage: python scripts/gen_reference_configs.py [--force]
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import os

@@ -10,6 +10,11 @@ attached (TPU via the relay, or CPU with JAX_PLATFORMS=cpu).
 Usage: python scripts/smoke_c2i_freq.py [steps]
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

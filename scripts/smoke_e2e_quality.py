@@ -19,6 +19,11 @@ separate (margin > 1.1) but colors retain 0.3-0.45 residue — train the
 full 8000.
 """
 
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -5,6 +5,11 @@ Loads a UniFlow model (fresh init or an Orbax checkpoint), runs semantic
 reconstruction on an example image, prints the distillation loss and an ASCII
 loss curve over a few adaptation steps.
 """
+
+# runnable as `python scripts/<name>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 
