@@ -47,7 +47,10 @@ REFERENCE_CLASS_MAP: Dict[str, str] = {
     # trainers
     "src.diffusion.flow_matching.training.FlowMatchingTrainer": "deco_tpu.diffusion.training.FlowMatchingTrainer",
     "src.diffusion.flow_matching.training_repa_DeCo.REPATrainer": "deco_tpu.diffusion.training.DeCoTrainer",
-    "src.diffusion.flow_matching.training_repa.REPATrainer": "deco_tpu.diffusion.training.DeCoTrainer",
+    # training_repa.py's REPA branch is ACTIVE upstream (unlike the DeCo
+    # trainer, where it is commented out) — map to the trainer that computes
+    # the cosine-alignment loss.
+    "src.diffusion.flow_matching.training_repa.REPATrainer": "deco_tpu.diffusion.training.REPATrainer",
     "src.diffusion.flow_matching.training_repa_JiT.REPATrainer": "deco_tpu.diffusion.training.JiTTrainer",
     "src.diffusion.ddpm.training.VPTrainer": "deco_tpu.diffusion.training.VPTrainer",
     "src.diffusion.ddpm.training.DDPMTrainer": "deco_tpu.diffusion.training.DDPMTrainer",

@@ -238,6 +238,39 @@ class _REPAProj(object):
         return Proj()
 
 
+def _cos_align_loss(proj, proj_params, feat, metadata, encoder):
+    """REPA cosine-alignment term (training_repa.py:93-104).
+
+    ``proj(feat)`` (the denoiser tap through the trainable 3-layer MLP) vs a
+    stop-gradient encoder feature of the raw image; src is truncated to the
+    dst token count when they differ (:99-100, the reference keeps the
+    leading tokens). Returns 0.0 when no target features are available.
+    """
+    src_feature = proj.apply({"params": proj_params}, feat)
+    dst_feature = None
+    if metadata is not None and "repa_features" in metadata:
+        dst_feature = jax.lax.stop_gradient(metadata["repa_features"])
+    elif encoder is not None and metadata is not None \
+            and metadata.get("raw_image") is not None:
+        raw = metadata["raw_image"]  # (B, H, W, 3) in [0,1]
+        dst_feature = jax.lax.stop_gradient(encoder(raw))
+    if dst_feature is None:
+        return jnp.float32(0.0)
+    n = dst_feature.shape[1]
+    if src_feature.shape[1] != n:
+        src_feature = src_feature[:, :n]
+    sf = src_feature.astype(jnp.float32)
+    df = dst_feature.astype(jnp.float32)
+    # Safe norms: sqrt(x) has a NaN gradient at x==0, and an all-zero tap
+    # (e.g. a model built without align_layer wired) would poison every
+    # gradient. +1e-24 inside the sqrt shifts the forward by <1e-12 relative
+    # at any realistic feature scale while keeping d/dx finite at 0.
+    sn = jnp.sqrt(jnp.sum(sf * sf, -1) + 1e-24)
+    dn = jnp.sqrt(jnp.sum(df * df, -1) + 1e-24)
+    cos = jnp.sum(sf * df, -1) / (sn * dn + 1e-8)
+    return (1 - cos).mean()
+
+
 class REPATrainer(DeCoTrainer):
     """REPA feature-alignment trainer (reference training_repa.py:29-121).
 
@@ -264,14 +297,14 @@ class REPATrainer(DeCoTrainer):
         ]
 
     def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
-        rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
+        rng_t, rng_noise = jax.random.split(rng)
         batch_size = x.shape[0]
-        t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
-        t_uniform = jax.random.uniform(rng_u, (batch_size,))
-        base_t = jnp.where(
-            jax.random.uniform(rng_mix, (batch_size,)) <= self.lognorm_mix_p,
-            t_lognorm, t_uniform,
-        )
+        # Pure lognorm/uniform draw (training_repa.py:68-71) — the 90/10 mix
+        # belongs to the DeCo trainer only (training_repa_DeCo.py:221-229).
+        if self.lognorm_t:
+            base_t = jax.nn.sigmoid(jax.random.normal(rng_t, (batch_size,)))
+        else:
+            base_t = jax.random.uniform(rng_t, (batch_size,))
         t = time_shift_fn(base_t, self.timeshift)
         noise = jax.random.normal(rng_noise, x.shape, x.dtype)
         alpha, dalpha, sigma, dsigma = (
@@ -281,27 +314,10 @@ class REPATrainer(DeCoTrainer):
         v_t = dalpha * x + dsigma * noise
 
         out, feat = net(x_t, t, y, return_features=True)
-        src_feature = self._proj.apply({"params": params}, feat)
-
-        dst_feature = None
-        if metadata is not None and "repa_features" in metadata:
-            dst_feature = jax.lax.stop_gradient(metadata["repa_features"])
-        elif self.encoder is not None:
-            raw = metadata["raw_image"]  # (B, H, W, 3) in [0,1]
-            dst_feature = jax.lax.stop_gradient(self.encoder(raw))
         losses = {}
-        if dst_feature is not None:
-            n = dst_feature.shape[1]
-            if src_feature.shape[1] != n:
-                src_feature = src_feature[:, :n]
-            sf = src_feature.astype(jnp.float32)
-            df = dst_feature.astype(jnp.float32)
-            cos = jnp.sum(sf * df, -1) / (
-                jnp.linalg.norm(sf, axis=-1) * jnp.linalg.norm(df, axis=-1) + 1e-8
-            )
-            cos_loss = (1 - cos).mean()
-        else:
-            cos_loss = jnp.float32(0.0)
+        cos_loss = _cos_align_loss(
+            self._proj, params, feat, metadata, self.encoder
+        )
 
         weight = self.loss_weight_fn(alpha, sigma)
         fm_loss = (
@@ -318,10 +334,15 @@ class REPATrainer(DeCoTrainer):
 
 
 class JiTTrainer(BaseTrainer):
-    """x-prediction flow matching (reference training_repa_JiT.py).
+    """x-prediction flow matching + REPA (reference training_repa_JiT.py).
 
-    The network predicts x1 directly; training target is the clean image and
-    the sampler recovers v as ``(out - x_t) / (1 - t)``.
+    The network predicts x1 directly; both the prediction and the target are
+    converted to velocity by dividing by ``max(1 - t, t_eps)`` before the MSE
+    (:82,102 — the clamp caps the near-t=1 amplification at 1/t_eps), so the
+    effective x-space loss carries a ``1/(1-t)^2`` weighting. The REPA
+    cosine-alignment branch is ACTIVE upstream (the shipped
+    Baseline_DiT_JiT.yaml passes a DINOv2 encoder), so it is implemented here
+    exactly as in :class:`REPATrainer`.
     """
 
     def __init__(
@@ -330,13 +351,13 @@ class JiTTrainer(BaseTrainer):
         loss_weight_fn: Union[str, Callable] = "constant",
         lognorm_t: bool = True,
         timeshift: float = 1.0,
-        lognorm_mix_p: float = 0.9,
         encoder=None,
         align_layer: int = 8,
         proj_denoiser_dim: int = 256,
         proj_hidden_dim: int = 256,
         proj_encoder_dim: int = 256,
         feat_loss_weight: float = 0.5,
+        t_eps: float = 5e-2,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -344,33 +365,51 @@ class JiTTrainer(BaseTrainer):
         self.loss_weight_fn = _resolve_weight_fn(loss_weight_fn)
         self.lognorm_t = lognorm_t
         self.timeshift = timeshift
-        self.lognorm_mix_p = lognorm_mix_p
-        # REPA args accepted for config parity with the reference's
-        # training_repa_JiT.REPATrainer (whose REPA branch is likewise
-        # inactive in the shipped Baseline_DiT_JiT.yaml run)
         self.encoder = encoder
         self.align_layer = align_layer
+        self.feat_loss_weight = feat_loss_weight
+        self.t_eps = t_eps
+        self._proj = _REPAProj(proj_hidden_dim, proj_encoder_dim)
+        self._proj_in_dim = proj_denoiser_dim
+
+    def init_params(self, rng):
+        return self._proj.init(rng, jnp.zeros((1, 1, self._proj_in_dim)))[
+            "params"
+        ]
 
     def _impl_trainstep(self, rng, net, x, y, metadata=None, params=None):
-        rng_nt, rng_u, rng_mix, rng_noise = jax.random.split(rng, 4)
+        rng_t, rng_noise = jax.random.split(rng)
         batch_size = x.shape[0]
-        t_lognorm = jax.nn.sigmoid(jax.random.normal(rng_nt, (batch_size,)))
-        t_uniform = jax.random.uniform(rng_u, (batch_size,))
-        base_t = jnp.where(
-            jax.random.uniform(rng_mix, (batch_size,)) <= self.lognorm_mix_p,
-            t_lognorm,
-            t_uniform,
-        )
+        if self.lognorm_t:
+            base_t = jax.nn.sigmoid(jax.random.normal(rng_t, (batch_size,)))
+        else:
+            base_t = jax.random.uniform(rng_t, (batch_size,))
         t = time_shift_fn(base_t, self.timeshift)
         noise = jax.random.normal(rng_noise, x.shape, x.dtype)
         alpha, dalpha, sigma, dsigma = (
             bcast_right(c, x.ndim) for c in self.scheduler.isotropic_coeffs(t)
         )
         x_t = alpha * x + noise * sigma
-        out = net(x_t, t, y)
+        denom = jnp.clip(1.0 - bcast_right(t, x.ndim), min=self.t_eps)
+        v_t = (x.astype(jnp.float32) - x_t.astype(jnp.float32)) / denom
+
+        if params is not None:
+            out, feat = net(x_t, t, y, return_features=True)
+            cos_loss = _cos_align_loss(
+                self._proj, params, feat, metadata, self.encoder
+            )
+        else:
+            out = net(x_t, t, y)
+            cos_loss = jnp.float32(0.0)
+        out_v = (out.astype(jnp.float32) - x_t.astype(jnp.float32)) / denom
+
         weight = self.loss_weight_fn(alpha, sigma)
-        loss = weight * (out.astype(jnp.float32) - x.astype(jnp.float32)) ** 2
-        return dict(loss=loss.mean())
+        fm_loss = (weight * (out_v - v_t) ** 2).mean()
+        return dict(
+            fm_loss=fm_loss,
+            cos_loss=cos_loss,
+            loss=fm_loss + self.feat_loss_weight * cos_loss,
+        )
 
 
 class VPTrainer(BaseTrainer):

@@ -60,10 +60,11 @@ class Experiment:
         self._cond_on_images = getattr(self.conditioner, "wants_images", False)
         self.trainer = registry.instantiate(model_cfg["diffusion_trainer"])
         self.sampler = registry.instantiate(model_cfg["diffusion_sampler"])
-        # REPA needs the model's feature tap wired to the trainer's align layer
-        from deco_tpu.diffusion.training import REPATrainer
+        # REPA needs the model's feature tap wired to the trainer's align
+        # layer (JiT carries the same active REPA branch upstream)
+        from deco_tpu.diffusion.training import JiTTrainer, REPATrainer
 
-        if isinstance(self.trainer, REPATrainer) and hasattr(
+        if isinstance(self.trainer, (JiTTrainer, REPATrainer)) and hasattr(
             self.model, "align_layer"
         ):
             import dataclasses

@@ -382,3 +382,228 @@ def test_fm_trainer_weighted_loss_and_dropout_parity(ref_trainer_mod):
         )
     np.testing.assert_allclose(float(losses["loss"]), loss_t,
                                rtol=1e-4, atol=1e-6)
+
+
+def _copy_ref_proj(ttrainer):
+    """Reference proj Sequential(Sequential(L,SiLU,L,SiLU,L)) -> our fc0/2/4
+    Flax params (kernel = weight.T)."""
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in ttrainer.proj.state_dict().items()}
+    return {
+        f"fc{i}": {
+            "kernel": jnp.asarray(sd[f"0.{2 * i}.weight"].T),
+            "bias": jnp.asarray(sd[f"0.{2 * i}.bias"]),
+        }
+        for i in range(3)
+    }
+
+
+def test_repa_trainer_cos_align_parity(ref_trainer_mod):
+    """training_repa.REPATrainer pin with the cosine-alignment branch ACTIVE
+    (it is live upstream, :82-111, unlike the DeCo trainer where it is
+    commented out): pure-lognorm t draw (no 90/10 mix), blocks[align-1] tap
+    through the 3-layer proj MLP, src-token truncation to the dst count, and
+    the fm + 0.5*cos composition — all with injected draws and an Identity
+    encoder fed feature targets directly."""
+    import importlib.util
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.diffusion.training import REPATrainer
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    _, TLinear, dit = ref_trainer_mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_trainer_repa",
+        os.path.join(REF, "src/diffusion/flow_matching/training_repa.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_trainer_repa"] = mod
+    spec.loader.exec_module(mod)
+
+    tmodel = dit.PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(21)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rs = np.random.RandomState(21)
+    batch, hid = 2, KW["hidden_size"]
+    x = rs.uniform(-1, 1, (batch, 3, 16, 16)).astype(np.float32)
+    y = np.asarray([2, 5])
+    q_nt = rs.randn(batch).astype(np.float32)
+    q_noise = rs.randn(batch, 3, 16, 16).astype(np.float32)
+    # dst has FEWER tokens (12) than the 16-token tap -> exercises the
+    # truncation branch (training_repa.py:99-100)
+    dst = rs.randn(batch, 12, 24).astype(np.float32)
+
+    with mock.patch.object(
+        torch, "randn",
+        side_effect=lambda *s, **k: torch.from_numpy(q_nt)), \
+            mock.patch.object(
+        torch, "randn_like",
+        side_effect=lambda t, **k: torch.from_numpy(q_noise)):
+        ttrainer = mod.REPATrainer(
+            scheduler=TLinear(), lognorm_t=True, timeshift=1.0,
+            encoder=torch.nn.Identity(), align_layer=2,
+            proj_denoiser_dim=hid, proj_hidden_dim=16, proj_encoder_dim=24,
+        )
+        with torch.no_grad():
+            out_t = ttrainer._impl_trainstep(
+                tmodel, None, None, torch.from_numpy(x), torch.from_numpy(y),
+                metadata={"raw_image": torch.from_numpy(dst)},
+            )
+    fm_t, cos_t = float(out_t["fm_loss"]), float(out_t["cos_loss"])
+    loss_t = float(out_t["loss"])
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32, align_layer=2)
+    net = lambda xt, t, yy, **kw: jmodel.apply(
+        {"params": params}, xt, t, yy, **kw)
+    jtrainer = REPATrainer(
+        scheduler=LinearScheduler(), lognorm_t=True, timeshift=1.0,
+        encoder=lambda raw: raw, align_layer=2,
+        proj_denoiser_dim=hid, proj_hidden_dim=16, proj_encoder_dim=24,
+    )
+    proj_params = _copy_ref_proj(ttrainer)
+    noise_nhwc = jnp.asarray(q_noise.transpose(0, 2, 3, 1))
+
+    def j_normal(rng, shape=None, dtype=jnp.float32):
+        return jnp.asarray(q_nt) if shape == (batch,) else noise_nhwc
+
+    with mock.patch.object(jax.random, "normal", side_effect=j_normal):
+        losses = jtrainer._impl_trainstep(
+            jax.random.PRNGKey(0), net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y),
+            metadata={"raw_image": jnp.asarray(dst)}, params=proj_params,
+        )
+    np.testing.assert_allclose(float(losses["fm_loss"]), fm_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(losses["cos_loss"]), cos_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(losses["loss"]), loss_t,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_jit_trainer_xpred_parity(ref_trainer_mod):
+    """training_repa_JiT.REPATrainer pin: x-prediction converted to velocity
+    by dividing by clamp(1-t, 5e-2) on BOTH the net output and the target
+    (:82,102 — the effective 1/(1-t)^2 loss weighting our old JiTTrainer
+    missed), plus the active REPA branch. One injected draw puts base_t at
+    sigmoid(3.3)≈0.964 so 1-t < t_eps exercises the clamp."""
+    import importlib.util
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.diffusion.training import JiTTrainer
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    _, TLinear, dit = ref_trainer_mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_trainer_jit",
+        os.path.join(REF, "src/diffusion/flow_matching/training_repa_JiT.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_trainer_jit"] = mod
+    spec.loader.exec_module(mod)
+
+    tmodel = dit.PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(22)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rs = np.random.RandomState(22)
+    batch, hid = 2, KW["hidden_size"]
+    x = rs.uniform(-1, 1, (batch, 3, 16, 16)).astype(np.float32)
+    y = np.asarray([4, 8])
+    # first sample hits the t_eps clamp (sigmoid(3.3)=0.964 -> 1-t=0.036),
+    # second stays unclamped
+    q_nt = np.asarray([3.3, -0.7], np.float32)
+    q_noise = rs.randn(batch, 3, 16, 16).astype(np.float32)
+    dst = rs.randn(batch, 16, 24).astype(np.float32)
+
+    with mock.patch.object(
+        torch, "randn",
+        side_effect=lambda *s, **k: torch.from_numpy(q_nt)), \
+            mock.patch.object(
+        torch, "randn_like",
+        side_effect=lambda t, **k: torch.from_numpy(q_noise)):
+        ttrainer = mod.REPATrainer(
+            scheduler=TLinear(), lognorm_t=True, timeshift=1.0,
+            encoder=torch.nn.Identity(), align_layer=2,
+            proj_denoiser_dim=hid, proj_hidden_dim=16, proj_encoder_dim=24,
+        )
+        with torch.no_grad():
+            out_t = ttrainer._impl_trainstep(
+                tmodel, None, None, torch.from_numpy(x), torch.from_numpy(y),
+                metadata={"raw_image": torch.from_numpy(dst)},
+            )
+    fm_t, cos_t = float(out_t["fm_loss"]), float(out_t["cos_loss"])
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32, align_layer=2)
+    net = lambda xt, t, yy, **kw: jmodel.apply(
+        {"params": params}, xt, t, yy, **kw)
+    jtrainer = JiTTrainer(
+        scheduler=LinearScheduler(), lognorm_t=True, timeshift=1.0,
+        encoder=lambda raw: raw, align_layer=2,
+        proj_denoiser_dim=hid, proj_hidden_dim=16, proj_encoder_dim=24,
+    )
+    proj_params = _copy_ref_proj(ttrainer)
+    noise_nhwc = jnp.asarray(q_noise.transpose(0, 2, 3, 1))
+
+    def j_normal(rng, shape=None, dtype=jnp.float32):
+        return jnp.asarray(q_nt) if shape == (batch,) else noise_nhwc
+
+    with mock.patch.object(jax.random, "normal", side_effect=j_normal):
+        losses = jtrainer._impl_trainstep(
+            jax.random.PRNGKey(0), net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y),
+            metadata={"raw_image": jnp.asarray(dst)}, params=proj_params,
+        )
+    np.testing.assert_allclose(float(losses["fm_loss"]), fm_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(losses["cos_loss"]), cos_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(losses["loss"]),
+                               float(out_t["loss"]), rtol=1e-4, atol=1e-6)
+
+
+def test_cos_align_grad_finite_at_zero_features():
+    """sqrt has a NaN gradient at 0 — an all-zero feature tap (a model built
+    without align_layer, or a dead proj) must not poison the whole gradient.
+    The safe-norm form keeps d(cos_loss)/d(proj) finite at exactly 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.diffusion.training import _REPAProj, _cos_align_loss
+
+    proj = _REPAProj(8, 6)
+    # zero proj params + zero feat -> src_feature exactly 0
+    p0 = jax.tree.map(jnp.zeros_like,
+                      proj.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 1, 4)))["params"])
+    feat = jnp.zeros((2, 5, 4))
+    meta = {"raw_image": jnp.ones((2, 5, 6))}
+
+    def f(pp):
+        return _cos_align_loss(proj, pp, feat, meta, lambda r: r)
+
+    loss, grads = jax.value_and_grad(f)(p0)
+    assert bool(jnp.isfinite(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert bool(jnp.isfinite(leaf).all())
