@@ -82,3 +82,23 @@ class DCLatentAE(LatentAE):
     def __init__(self, encode_fn=None, decode_fn=None, scale=0.41407, shift=0.0,
                  precompute: bool = False):
         super().__init__(encode_fn, decode_fn, scale, shift, precompute)
+
+    @classmethod
+    def from_torch_state(cls, sd, scale=0.41407, shift=0.0, dtype=None,
+                         attention_head_dim: int = 32):
+        """Build a working codec from a diffusers/vendored AutoencoderDC
+        state dict (stage geometry inferred from the weights; see
+        convert.dcae_bridge — head_dim is the one structural choice a square
+        qkv weight cannot encode, so it stays an argument). NHWC in/out."""
+        from deco_tpu.convert.dcae_bridge import dcae_flax_from_torch
+
+        model, params = dcae_flax_from_torch(
+            sd, dtype=dtype, attention_head_dim=attention_head_dim)
+        variables = {"params": params}
+        return cls(
+            encode_fn=lambda x: model.apply(variables, x,
+                                            method=model.encode),
+            decode_fn=lambda z: model.apply(variables, z,
+                                            method=model.decode),
+            scale=scale, shift=shift,
+        )

@@ -10,7 +10,9 @@ an RMS-normed conv head. NHWC throughout; RMSNorm is applied channel-last
 
 This provides the decode path for the VAE-GAN (InternViT encoder -> DC-AE
 decoder) and the DCLatentAE codec; weights load through
-:func:`dcae_params_from_torch` (diffusers state dicts).
+:mod:`deco_tpu.convert.dcae_bridge` (diffusers/vendored state dicts; forward
+parity pinned against the vendored reference file in
+tests/test_dcae_convert_parity.py).
 """
 
 from __future__ import annotations
@@ -55,6 +57,28 @@ class ChannelRMSNorm(nn.Module):
         return L.RMSNorm(eps=self.eps, name="norm")(x)
 
 
+class DCRMSNorm(nn.Module):
+    """diffusers ``get_normalization("rms_norm", C)``: RMSNorm with eps=1e-5
+    and a zeros-init BIAS term (diffusers normalization.get_normalization
+    defaults eps=1e-5, bias=True) — published DC-AE state dicts carry
+    ``norm.bias`` keys, so the block norms cannot share the bias-free
+    ``L.RMSNorm`` (eps 1e-6) the q/k norms use."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones,
+                            (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (x.shape[-1],), jnp.float32)
+        input_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        variance = jnp.mean(xf**2, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(variance + self.eps)
+        return (weight * xf + bias).astype(input_dtype)
+
+
 class DCResBlock(nn.Module):
     """Conv-Conv residual block (reference modeling_dcae.py:46-78)."""
 
@@ -73,7 +97,7 @@ class DCResBlock(nn.Module):
         h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        h = L.RMSNorm(name="norm")(h)
+        h = DCRMSNorm(name="norm")(h)
         return h + res
 
 
@@ -99,7 +123,7 @@ class GLUMBConv(nn.Module):
         h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv_point")(h)
         if self.use_norm:
-            h = L.RMSNorm(name="norm")(h)
+            h = DCRMSNorm(name="norm")(h)
         return h + res
 
 
@@ -119,7 +143,11 @@ class DCAttentionBlock(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(tokens)
         qkv = qkv.reshape(b, h * w, 3, heads, self.attention_head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        rope = L.precompute_rope_2d(self.attention_head_dim, h, w)
+        # the vendored file aliases precompute_freqs_cis_EX2D (span
+        # [0,grid], scale 1.0 — modeling_dcae.py:34-37), NOT the [0,16]-span
+        # default table
+        rope = L.precompute_rope_2d(self.attention_head_dim, h, w,
+                                    scale=1.0, extrapolate=True)
         q, k = L.apply_rope(q, k, rope)
         # qk-norm over flattened heads (InternViT-style quirk, :165-171)
         q = L.RMSNorm(name="q_norm")(q.reshape(b, h * w, c)).reshape(
@@ -130,7 +158,7 @@ class DCAttentionBlock(nn.Module):
         )
         o = L.sdpa(q, k, v, dtype=self.dtype).reshape(b, h * w, c)
         o = nn.Dense(c, use_bias=False, dtype=self.dtype, name="proj")(o)
-        o = L.RMSNorm(name="norm_out")(o)
+        o = DCRMSNorm(name="norm_out")(o)
         tokens = o + res
         x = tokens.reshape(b, h, w, c)
         return GLUMBConv(c, dtype=self.dtype, name="conv_out")(x)
@@ -236,8 +264,11 @@ class DCAEDecoder(nn.Module):
                                    name=f"stage_{i}_block_{li}")(h)
         if not self.head:
             return h
-        h = L.RMSNorm(name="norm_out")(h)
-        h = nn.silu(h)
+        # diffusers AutoencoderDC head: RMSNorm(1e-5, bias) + ReLU + conv
+        # (the original DC-AE decoder act is relu; the vendored reference
+        # decoder has no head at all, so this path serves DCLatentAE only)
+        h = DCRMSNorm(name="norm_out")(h)
+        h = nn.relu(h)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
@@ -338,16 +369,47 @@ def tiled_apply(fn, x, tile: int, stride: int, scale: float):
 
 
 class AutoencoderDC(nn.Module):
-    """Full DC-AE: encode to f32c32 latents and back."""
+    """Full DC-AE: encode to f32c32 latents and back.
+
+    Per-side stage geometry is configurable so weights converted by
+    :mod:`deco_tpu.convert.dcae_bridge` (which infers it from the state
+    dict) drop straight in; defaults are the Sana f32c32 shapes."""
 
     latent_channels: int = 32
     dtype: Any = jnp.float32
+    encoder_block_out_channels: Sequence[int] = (128, 256, 512, 512, 1024,
+                                                 1024)
+    encoder_layers_per_block: Sequence[int] = (2, 2, 2, 3, 3, 3)
+    encoder_attention_stages: Sequence[bool] = (False, False, False, True,
+                                                True, True)
+    decoder_block_out_channels: Sequence[int] = (128, 256, 512, 512, 1024,
+                                                 1024)
+    decoder_layers_per_block: Sequence[int] = (3, 3, 3, 3, 3, 3)
+    decoder_attention_stages: Sequence[bool] = (False, False, False, True,
+                                                True, True)
+    attention_head_dim: int = 32
+    decoder_head: bool = True
 
     def setup(self):
-        self.encoder = DCAEEncoder(latent_channels=self.latent_channels,
-                                   dtype=self.dtype, name="encoder")
-        self.decoder = DCAEDecoder(latent_channels=self.latent_channels,
-                                   dtype=self.dtype, name="decoder")
+        self.encoder = DCAEEncoder(
+            latent_channels=self.latent_channels,
+            block_out_channels=self.encoder_block_out_channels,
+            layers_per_block=self.encoder_layers_per_block,
+            attention_stages=self.encoder_attention_stages,
+            attention_head_dim=self.attention_head_dim,
+            dtype=self.dtype, name="encoder")
+        self.decoder = DCAEDecoder(
+            latent_channels=self.latent_channels,
+            block_out_channels=self.decoder_block_out_channels,
+            layers_per_block=self.decoder_layers_per_block,
+            attention_stages=self.decoder_attention_stages,
+            attention_head_dim=self.attention_head_dim,
+            head=self.decoder_head,
+            dtype=self.dtype, name="decoder")
+
+    @property
+    def spatial_compression(self) -> int:
+        return 2 ** (len(self.encoder_block_out_channels) - 1)
 
     def encode(self, x):
         return self.encoder(x)
@@ -356,11 +418,12 @@ class AutoencoderDC(nn.Module):
         return self.decoder(z)
 
     def tiled_encode(self, x, tile_sample: int = 512, tile_stride: int = 448):
-        ratio = 1.0 / 32.0  # spatial compression 2^(stages-1)
+        ratio = 1.0 / self.spatial_compression
         return tiled_apply(self.encoder, x, tile_sample, tile_stride, ratio)
 
     def tiled_decode(self, z, tile_latent: int = 16, tile_stride: int = 14):
-        return tiled_apply(self.decoder, z, tile_latent, tile_stride, 32.0)
+        return tiled_apply(self.decoder, z, tile_latent, tile_stride,
+                           float(self.spatial_compression))
 
     def __call__(self, x):
         return self.decode(self.encode(x))

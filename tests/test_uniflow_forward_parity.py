@@ -198,3 +198,65 @@ def test_uniflow_forward_parity(ref_uniflow):
         np.testing.assert_allclose(
             np.asarray(j), t, atol=atol, rtol=1e-3, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("schedule", ["linear", "pow_0.25"])
+def test_flow_decoder_sampling_parity(ref_uniflow, schedule):
+    """Pins the FlowDecoder INFERENCE Euler loop (modeling_uniflow.py:852-925)
+    at cfg==1 — the only upstream-executable CFG setting (the reference's
+    mask_token is commented out of __init__, so its cfg branch crashes):
+    the linear and pow_p timestep/interval tables, the x1000 time scaling,
+    the per-step x += dt*v update, and the channel-major l2p reassembly,
+    with the noise draw injected on both sides (the reference hard-codes
+    .cuda(); Tensor.cuda is patched to identity for the call)."""
+    from unittest import mock
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.uniflow_bridge import _flow_decoder
+    from deco_tpu.models.uniflow.flow_decoder import FlowDecoder
+
+    M = ref_uniflow
+    b, n, cz, patch = 2, 4, 16, 2
+    tfd = M.FlowDecoder(
+        target_channels=3 * patch * patch, z_channels=cz, depth=1, width=16,
+        num_sampling_steps="4", patch_size=patch, max_freqs=4, num_heads=2,
+        use_lpips=False,
+    ).eval()
+    g = torch.Generator().manual_seed(41)
+    with torch.no_grad():
+        for p in tfd.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    rs = np.random.RandomState(41)
+    z = rs.randn(b, n, cz).astype(np.float32)
+    x0 = rs.randn(b * n, 3 * patch * patch).astype(np.float32)
+
+    with mock.patch.object(
+            torch, "randn",
+            side_effect=lambda *s, **k: torch.from_numpy(x0)), \
+            mock.patch.object(torch.Tensor, "cuda",
+                              lambda self, *a, **k: self), \
+            torch.no_grad():
+        img_t = tfd(torch.from_numpy(z), None, schedule=schedule,
+                    cfg=1.0).numpy()
+
+    sd = {k: v.numpy() for k, v in tfd.state_dict().items()}
+    params = _flow_decoder(sd, "", cz)
+    jfd = FlowDecoder(target_channels=3 * patch * patch, z_channels=cz,
+                      width=16, depth=1, num_sampling_steps=4,
+                      patch_size=patch, max_freqs=4, dtype=jnp.float32)
+
+    def j_normal(rng, shape=None, dtype=jnp.float32):
+        return jnp.asarray(x0.reshape(b, n, -1))
+
+    with mock.patch.object(jax.random, "normal", side_effect=j_normal):
+        img_j = jfd.apply({"params": params}, jnp.asarray(z),
+                          jax.random.PRNGKey(0), schedule=schedule, cfg=1.0,
+                          method=FlowDecoder.sample)
+    tol = 1e-6 * max(1.0, float(np.abs(img_t).max()))
+    np.testing.assert_allclose(np.transpose(np.asarray(img_j), (0, 3, 1, 2)),
+                               img_t, atol=tol, rtol=2e-5)
