@@ -501,3 +501,96 @@ def test_lagrange_preint_parity_all_orders(ref_mods):
         np.testing.assert_allclose(
             np.asarray(j_coef), np.asarray([float(c) for c in r_coef]),
             atol=1e-12, err_msg=f"coef order {order}")
+
+
+@pytest.mark.parametrize("step_fn,last_fn", [("sde", "sde_mean"),
+                                             ("sde_preserve", "ode")])
+def test_euler_sde_sampling_parity(ref_mods, step_fn, last_fn):
+    """Full-loop SDE pin (reference sampling.py:17-24,99-103): the
+    score-from-velocity drift, the w-scheduler weighting, and the stochastic
+    kick, with the reference fed deco_tpu's OWN noise stream (eps per step is
+    reproduced from the sampler's key-splitting so both sides integrate the
+    identical SDE path). Covers sde + sde_preserve step fns and a distinct
+    last_step_fn."""
+    from unittest import mock
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion import sampling as S
+    from deco_tpu.diffusion.scheduling import LinearScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_fm_sampling",
+        os.path.join(REF, "src/diffusion/flow_matching/sampling.py"))
+    ref_sampling = importlib.util.module_from_spec(spec)
+    sys.modules["ref_fm_sampling"] = ref_sampling
+    spec.loader.exec_module(ref_sampling)
+    t_step = {"sde": ref_sampling.sde_step_fn,
+              "sde_mean": ref_sampling.sde_mean_step_fn,
+              "sde_preserve": ref_sampling.sde_preserve_step_fn,
+              "ode": ref_sampling.ode_step_fn}
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(7)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(7)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([2, 9])
+    uncond = np.asarray([10, 10])
+    num_steps = 8
+
+    # reproduce the eps stream our scan will draw (sampler._scan_steps
+    # splits rng into one key per step; eps = normal(key, x.shape, x.dtype))
+    sde_rng = jax.random.PRNGKey(17)
+    keys = jax.random.split(sde_rng, num_steps)
+    eps_nhwc = [np.asarray(jax.random.normal(k, (2, 16, 16, 3), jnp.float32))
+                for k in keys]
+    eps_torch = [torch.from_numpy(e.transpose(0, 3, 1, 2).copy())
+                 for e in eps_nhwc]
+    draws = iter(eps_torch)
+
+    tsampler = ref_mods["EulerSampler"](
+        scheduler=ref_mods["LinearScheduler"](),
+        w_scheduler=ref_mods["LinearScheduler"](),
+        guidance_fn=ref_mods["guidance_fn"],
+        num_steps=num_steps, guidance=2.0,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+        step_fn=t_step[step_fn], last_step_fn=t_step[last_fn],
+    )
+    with mock.patch.object(torch, "randn_like",
+                           side_effect=lambda t, **k: next(draws)), \
+            torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond))
+    out_t = x_trajs[-1].numpy()
+    # only sde/sde_preserve draw noise (ode and sde_mean are deterministic);
+    # the eps stream must line up 1:1 with the stochastic steps taken
+    stochastic = {"sde", "sde_preserve"}
+    n_stoch = (num_steps - 1) * (step_fn in stochastic) + (
+        last_fn in stochastic)
+    assert sum(1 for _ in draws) == len(eps_torch) - n_stoch
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = S.EulerSampler(
+        scheduler=LinearScheduler(), w_scheduler=LinearScheduler(),
+        num_steps=num_steps, guidance=2.0,
+        guidance_interval_min=0.1, guidance_interval_max=1.0,
+        step_fn=step_fn, last_step_fn=last_fn,
+    )
+    out_j = jsampler(net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+                     jnp.asarray(labels), jnp.asarray(uncond), rng=sde_rng)
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3)
