@@ -44,3 +44,30 @@ def ema_update(ema_params, params, decay: float):
         ema_params,
         params,
     )
+
+def ema_decay_schedule(step, decay: float = 0.9999, min_decay: float = 0.0,
+                       update_after_step: int = 0, update_every: int = 1,
+                       use_ema_warmup: bool = False, inv_gamma: float = 1.0,
+                       power: float = 2.0 / 3.0):
+    """Muse-style warmup-decayed EMA factor (reference ema_model.py:92-106).
+
+    ``decay(step) = clamp(warmup(step), min_decay, decay)`` with
+    ``warmup = 1 - (1 + s/inv_gamma)^-power`` when ``use_ema_warmup`` else
+    the simple-average ramp ``(1+s)/(10+s)``, where
+    ``s = max(0, step - update_after_step - 1)`` and steps not on the
+    ``update_every`` grid (reference step():117-121) contribute decay 1.0
+    (EMA unchanged) so the schedule is jit-safe as a pure per-step factor.
+    """
+    step = jnp.asarray(step)
+    s = jnp.maximum(0, step - update_after_step - 1)
+    if use_ema_warmup:
+        warm = 1.0 - (1.0 + s / inv_gamma) ** -power
+    else:
+        warm = (1.0 + s) / (10.0 + s)
+    d = jnp.clip(warm, min_decay, decay)
+    # s <= 0 -> decay 0 (EMA snaps to params), matching get_decay's early 0
+    d = jnp.where(s <= 0, 0.0, d)
+    if update_every > 1:
+        on_grid = ((step - 1) % update_every) == 0
+        d = jnp.where(on_grid, d, 1.0)
+    return d.astype(jnp.float32)

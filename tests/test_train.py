@@ -237,3 +237,37 @@ class TestGradAccumulation:
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         assert "grad_norm" in metrics
+
+
+def test_ema_decay_schedule_matches_reference():
+    """Pin ema_decay_schedule against the reference EMAModel.get_decay
+    (src/models/modules/ema_model.py:92-106) over both warmup forms, the
+    clamps, and the update_after_step offset."""
+    import importlib.util
+    import os
+    import sys
+
+    ref = "/root/reference/src/models/modules/ema_model.py"
+    if not os.path.isfile(ref):
+        import pytest
+        pytest.skip("reference tree not available")
+    torch = __import__("torch")
+    spec = importlib.util.spec_from_file_location("ref_ema_model", ref)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ema_model"] = mod
+    spec.loader.exec_module(mod)
+
+    from deco_tpu.train.state import ema_decay_schedule
+
+    for kwargs in (
+        dict(),
+        dict(use_ema_warmup=True, inv_gamma=1.0, power=2.0 / 3.0),
+        dict(use_ema_warmup=True, inv_gamma=3.0, power=0.75,
+             min_decay=0.2, decay=0.995),
+        dict(update_after_step=5),
+    ):
+        ema = mod.EMAModel([torch.zeros(1)], **kwargs)
+        for step in [0, 1, 2, 3, 7, 10, 100, 31600, 1000000]:
+            want = ema.get_decay(step)
+            got = float(ema_decay_schedule(step, **kwargs))
+            assert abs(got - want) < 1e-6, (kwargs, step, got, want)
