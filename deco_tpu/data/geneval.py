@@ -17,13 +17,27 @@ from PIL import Image
 from deco_tpu.data.randn import seeded_noise
 
 
+def _jsonable(v):
+    """Loader collates turn ints/floats into numpy scalars and lists into
+    arrays, and conditioners write device arrays (valid_length_y) into
+    metadata; the scorer metadata must stay plain JSON."""
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if hasattr(v, "__array__") and not isinstance(v, (str, bytes)):
+        arr = np.asarray(v)
+        return arr.item() if arr.ndim == 0 else arr.tolist()
+    return v
+
+
 def geneval_save_fn(image: np.ndarray, metadata: dict, root_path: str):
-    path = os.path.join(root_path, metadata["filename"])
+    path = os.path.join(root_path, str(metadata["filename"]))
     os.makedirs(os.path.join(path, "samples"), exist_ok=True)
     Image.fromarray(image).save(
-        os.path.join(path, "samples", f"{metadata['seed']}.png")
+        os.path.join(path, "samples", f"{_jsonable(metadata['seed'])}.png")
     )
-    clean = {k: v for k, v in metadata.items() if k != "save_fn"}
+    clean = {k: _jsonable(v) for k, v in metadata.items() if k != "save_fn"}
     with open(os.path.join(path, "metadata.jsonl"), "w") as fp:
         json.dump(clean, fp)
 

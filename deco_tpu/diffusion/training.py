@@ -71,6 +71,12 @@ def _resolve_weight_fn(fn: Union[str, Callable]) -> Callable:
 class BaseTrainer:
     """CFG label dropout + dispatch (reference base/training.py:7-28)."""
 
+    # metadata array keys this objective consumes from the batch pipeline;
+    # Experiment.fit forwards exactly these into the jitted step (the
+    # reference passes the whole metadata dict, lightning_model.py:228-236,
+    # but filenames/save_fn closures can't cross the jit boundary)
+    metadata_keys: tuple = ()
+
     def __init__(self, null_condition_p: float = 0.1):
         self.null_condition_p = null_condition_p
 
@@ -285,6 +291,8 @@ class REPATrainer(DeCoTrainer):
     layout for torch-hub encoders that can't trace into XLA).
     """
 
+    metadata_keys = ("repa_features", "raw_image")
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._proj = _REPAProj(kwargs.get("proj_hidden_dim", 256),
@@ -344,6 +352,8 @@ class JiTTrainer(BaseTrainer):
     Baseline_DiT_JiT.yaml passes a DINOv2 encoder), so it is implemented here
     exactly as in :class:`REPATrainer`.
     """
+
+    metadata_keys = ("repa_features", "raw_image")
 
     def __init__(
         self,

@@ -218,9 +218,20 @@ class Experiment:
                     if step >= limit or preempt.requested:
                         break
                     cond, uncond = self._condition(bx, by, bmeta)
-                    batch = mesh_lib.shard_batch(self.mesh, dict(
+                    batch = dict(
                         x=jnp.asarray(bx), condition=cond, uncondition=uncond,
-                    ))
+                    )
+                    # objectives declare the metadata arrays they consume
+                    # (e.g. REPA's raw_image / precomputed repa_features);
+                    # only those cross the jit boundary
+                    md = {
+                        k: jnp.asarray(bmeta[k])
+                        for k in getattr(self.trainer, "metadata_keys", ())
+                        if isinstance(bmeta, dict) and k in bmeta
+                    }
+                    if md:
+                        batch["metadata"] = md
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
                     state, metrics = step_fn(
                         state, batch, jax.random.fold_in(rng, step)
                     )

@@ -46,16 +46,23 @@ def make_train_step(
 
     def loss_fn(params, batch, rng):
         x, cond, uncond = batch["x"], batch["condition"], batch["uncondition"]
+        metadata = batch.get("metadata")
         if diffusion_batch_mul > 1:
             reps = lambda a: jnp.concatenate([a] * diffusion_batch_mul, axis=0)
             x, cond, uncond = reps(x), reps(cond), reps(uncond)
+            if metadata is not None:
+                # the reference replicates only x/condition
+                # (lightning_model.py:223-224) because its active-REPA runs
+                # never set batch_mul; replicating the feature targets keeps
+                # the cos term defined per-copy at batch_mul > 1
+                metadata = jax.tree.map(reps, metadata)
         # combined layout {"model":..., "trainer":...} carries trainer-owned
         # trainable state (e.g. the REPA projection); plain pytree = model only
         combined = isinstance(params, dict) and "model" in params
         model_params = params["model"] if combined else params
         trainer_params = params.get("trainer") if combined else None
         net = lambda x_t, t, y, **kw: apply_fn(model_params, x_t, t, y, **kw)
-        out = trainer(rng, net, x, cond, uncond, batch.get("metadata"),
+        out = trainer(rng, net, x, cond, uncond, metadata,
                       params=trainer_params)
         return out["loss"], out
 
