@@ -594,3 +594,71 @@ def test_euler_sde_sampling_parity(ref_mods, step_fn, last_fn):
                      jnp.asarray(labels), jnp.asarray(uncond), rng=sde_rng)
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3)
+
+
+def test_vp_euler_sde_sampling_parity(ref_mods):
+    """VP reverse-SDE pin (ddpm/vp_sampling.py:10-11): drift with k=1 plus
+    the sqrt(|dt|*beta) kick, torch fed deco_tpu's own per-step noise stream
+    (same key-split reproduction as the FM SDE pin). last_step_fn stays ode —
+    the reference evaluates last_step_fn as a side x0 estimate EVERY step
+    (:58), so a stochastic last_step_fn would consume extra draws upstream."""
+    from unittest import mock
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.diffusion.ddpm.scheduling import VPScheduler as TSched
+    from src.diffusion.ddpm.vp_sampling import VPEulerSampler as TVP
+    from src.diffusion.ddpm.vp_sampling import ode_step_fn as t_ode
+    from src.diffusion.ddpm.vp_sampling import sde_step_fn as t_sde
+
+    from deco_tpu.convert.torch_to_flax import convert_deco_c2i
+    from deco_tpu.diffusion.ddpm_sampling import VPEulerSampler
+    from deco_tpu.diffusion.scheduling import VPScheduler
+    from deco_tpu.models.dit_c2i_deco import DeCoC2I
+
+    tmodel = ref_mods["dit"].PixNerDiT(**KW).eval()
+    g = torch.Generator().manual_seed(9)
+    for p in tmodel.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    rng = np.random.RandomState(9)
+    noise = rng.randn(2, 3, 16, 16).astype(np.float32)
+    labels = np.asarray([3, 7])
+    uncond = np.asarray([10, 10])
+    num_steps = 6
+
+    sde_rng = jax.random.PRNGKey(23)
+    keys = jax.random.split(sde_rng, num_steps)
+    eps_nhwc = [np.asarray(jax.random.normal(k, (2, 16, 16, 3), jnp.float32))
+                for k in keys]
+    draws = iter(torch.from_numpy(e.transpose(0, 3, 1, 2).copy())
+                 for e in eps_nhwc)
+
+    tsampler = TVP(
+        scheduler=TSched(), guidance_fn=ref_mods["guidance_fn"],
+        num_steps=num_steps, guidance=2.0, step_fn=t_sde, last_step_fn=t_ode,
+    )
+    with mock.patch.object(torch, "randn_like",
+                           side_effect=lambda t, **k: next(draws)), \
+            torch.no_grad():
+        x_trajs, _ = tsampler._impl_sampling(
+            tmodel, torch.from_numpy(noise), torch.from_numpy(labels),
+            torch.from_numpy(uncond))
+    out_t = x_trajs[-1].numpy()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_deco_c2i(sd, in_channels=3, patch_size=4)
+    jmodel = DeCoC2I(**KW, dtype=jnp.float32)
+    net = lambda x, t, y: jmodel.apply({"params": params}, x, t, y)
+    jsampler = VPEulerSampler(scheduler=VPScheduler(), num_steps=num_steps,
+                              guidance=2.0, step_fn="sde", last_step_fn="ode")
+    out_j = jsampler(net, jnp.asarray(noise.transpose(0, 2, 3, 1)),
+                     jnp.asarray(labels), jnp.asarray(uncond), rng=sde_rng)
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-3, rtol=1e-3)
