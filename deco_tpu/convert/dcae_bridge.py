@@ -126,6 +126,13 @@ def dcae_decoder_params_from_torch(
             params[f"up_{i}"] = {
                 "conv": _conv(sd, f"up_blocks.{i}.0.conv", used)}
             li0 = 1
+            if len(elems) == 1:
+                # an upsampler with zero blocks cannot come from the vendored
+                # layout (both are gated on num_layers > 0) and the flax
+                # decoder would silently skip it — refuse loudly
+                raise ValueError(
+                    f"up_blocks.{i} has an upsampler but no blocks — "
+                    "unsupported layout")
         for j in elems[li0:]:
             params[f"stage_{i}_block_{j - li0}"] = _block(
                 sd, f"up_blocks.{i}.{j}", used)
@@ -153,11 +160,20 @@ def dcae_encoder_params_from_torch(
     num = max(stages) + 1 if stages else 0
     for i in stages:
         elems = _seq_indices(sd, f"down_blocks.{i}")
-        n_blocks = len(elems) - (1 if i < num - 1 else 0)
+        # the downsampler (a bare `conv.`) is appended LAST, only when the
+        # stage has blocks — detect it rather than assume
+        has_down = bool(elems) and (
+            f"down_blocks.{i}.{elems[-1]}.conv.weight" in sd
+            and f"down_blocks.{i}.{elems[-1]}.conv1.weight" not in sd
+            and f"down_blocks.{i}.{elems[-1]}.attn.qkv.weight" not in sd)
+        n_blocks = len(elems) - (1 if has_down else 0)
         for j in range(n_blocks):
             params[f"stage_{i}_block_{j}"] = _block(
                 sd, f"down_blocks.{i}.{j}", used)
-        if i < num - 1:
+        if has_down:
+            if i >= num - 1:
+                raise ValueError(
+                    f"down_blocks.{i} carries a downsampler at the top stage")
             params[f"down_{i}"] = {
                 "conv": _conv(sd, f"down_blocks.{i}.{n_blocks}.conv", used)}
     if strict:

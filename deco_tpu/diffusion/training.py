@@ -157,7 +157,10 @@ class DeCoTrainer(BaseTrainer):
         self,
         scheduler: BaseScheduler,
         loss_weight_fn: Union[str, Callable] = "constant",
-        lognorm_t: bool = True,
+        # every reference FM-family trainer defaults lognorm_t=False
+        # (training.py:25, training_repa.py:35, training_repa_DeCo.py:49,
+        # training_repa_JiT.py:35); the shipped configs enable it explicitly
+        lognorm_t: bool = False,
         timeshift: float = 1.0,
         lognorm_mix_p: float = 0.9,
         feat_loss_weight: float = 0.5,
@@ -359,7 +362,10 @@ class JiTTrainer(BaseTrainer):
         self,
         scheduler: BaseScheduler,
         loss_weight_fn: Union[str, Callable] = "constant",
-        lognorm_t: bool = True,
+        # every reference FM-family trainer defaults lognorm_t=False
+        # (training.py:25, training_repa.py:35, training_repa_DeCo.py:49,
+        # training_repa_JiT.py:35); the shipped configs enable it explicitly
+        lognorm_t: bool = False,
         timeshift: float = 1.0,
         encoder=None,
         align_layer: int = 8,

@@ -300,7 +300,9 @@ class DCAEEncoder(nn.Module):
                 else:
                     h = DCResBlock(ch, dtype=self.dtype,
                                    name=f"stage_{i}_block_{li}")(h)
-            if i < num - 1:
+            # the reference gates the DCDownBlock2d on num_layers > 0
+            # (modeling_dcae.py Encoder), same as the decoder's up blocks
+            if i < num - 1 and self.layers_per_block[i] > 0:
                 h = DCDownBlock(self.block_out_channels[i + 1],
                                 dtype=self.dtype, name=f"down_{i}")(h)
         out = nn.Conv(self.latent_channels, (3, 3), padding=1,
@@ -409,7 +411,25 @@ class AutoencoderDC(nn.Module):
 
     @property
     def spatial_compression(self) -> int:
-        return 2 ** (len(self.encoder_block_out_channels) - 1)
+        # a stage downsamples iff it is below the top AND has blocks
+        # (reference Encoder gates the DCDownBlock2d on num_layers > 0)
+        downs = sum(
+            1 for i in range(len(self.encoder_block_out_channels) - 1)
+            if self.encoder_layers_per_block[i] > 0
+        )
+        return 2 ** downs
+
+    @property
+    def decoder_expansion(self) -> int:
+        # per-side: the decoder's upsampling factor is set by ITS stage
+        # count, which the configurable geometry lets differ from the
+        # encoder's (a decoder stage upsamples iff it is below the top AND
+        # has blocks, mirroring the reference layout)
+        ups = sum(
+            1 for i in range(len(self.decoder_block_out_channels) - 1)
+            if self.decoder_layers_per_block[i] > 0
+        )
+        return 2 ** ups
 
     def encode(self, x):
         return self.encoder(x)
@@ -423,7 +443,7 @@ class AutoencoderDC(nn.Module):
 
     def tiled_decode(self, z, tile_latent: int = 16, tile_stride: int = 14):
         return tiled_apply(self.decoder, z, tile_latent, tile_stride,
-                           float(self.spatial_compression))
+                           float(self.decoder_expansion))
 
     def __call__(self, x):
         return self.decode(self.encode(x))

@@ -172,9 +172,14 @@ class VAEModel(nn.Module):
         if self.stochastic:
             mean, logvar = jnp.split(latent, 2, axis=-1)
             logvar = jnp.clip(logvar, -30.0, 20.0)
-            extras["kl"] = 0.5 * jnp.mean(
-                jnp.exp(logvar) + mean.astype(jnp.float32) ** 2 - 1.0 - logvar
-            )
+            # diffusers DiagonalGaussianDistribution.kl(): 0.5 * SUM over the
+            # latent dims per sample, then batch mean (encoder_ae.py:345-353
+            # returns posterior.kl().mean()) — a global mean would shrink the
+            # term by N*latent_ch and silently rescale kl_weight
+            extras["kl"] = jnp.mean(0.5 * jnp.sum(
+                jnp.exp(logvar) + mean.astype(jnp.float32) ** 2 - 1.0 - logvar,
+                axis=(1, 2),
+            ))
             if rng is not None:
                 latent = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
                     rng, mean.shape, mean.dtype

@@ -48,8 +48,20 @@ class SaveImagesHook:
         """images: (B, H, W, 3) uint8 on host; metadata from the loader collate."""
         batch = images_uint8.shape[0]
         save_fns = metadata.get("save_fn", [None] * batch)
+
+        def _per_sample(v, i):
+            # conditioners put device arrays into metadata (valid_length_y);
+            # anything array-like with a leading batch dim must be sliced,
+            # not passed whole-batch into every sample's record
+            if isinstance(v, (list, np.ndarray)):
+                return v[i] if len(v) == batch else v
+            if hasattr(v, "__array__") and not isinstance(v, (str, bytes)):
+                arr = np.asarray(v)
+                return arr[i] if arr.ndim >= 1 and len(arr) == batch else arr
+            return v
+
         for i in range(batch):
-            md = {k: (v[i] if isinstance(v, (list, np.ndarray)) else v)
+            md = {k: _per_sample(v, i)
                   for k, v in metadata.items() if k != "save_fn"}
             fn = save_fns[i] if isinstance(save_fns, list) else save_fns
             if fn is not None and self._saved < self.max_save_images:

@@ -64,7 +64,9 @@ def ema_decay_schedule(step, decay: float = 0.9999, min_decay: float = 0.0,
         warm = 1.0 - (1.0 + s / inv_gamma) ** -power
     else:
         warm = (1.0 + s) / (10.0 + s)
-    d = jnp.clip(warm, min_decay, decay)
+    # reference order: min(cur, decay) THEN max(cur, min_decay) — min_decay
+    # wins if a config (mis)sets min_decay above decay (get_decay:103-105)
+    d = jnp.maximum(jnp.minimum(warm, decay), min_decay)
     # s <= 0 -> decay 0 (EMA snaps to params), matching get_decay's early 0
     d = jnp.where(s <= 0, 0.0, d)
     if update_every > 1:

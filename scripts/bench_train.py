@@ -41,7 +41,8 @@ def main(batch=32, remat=True, steps=8, dec_blocks=6, res=256,
         trunk_remat_policy=remat_policy,
         decoder_chunks=decoder_chunks,
     )
-    trainer = DeCoTrainer(scheduler=LinearScheduler(), enable_freq_loss=True)
+    trainer = DeCoTrainer(scheduler=LinearScheduler(), lognorm_t=True,
+                          enable_freq_loss=True)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, res, res, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.float32)

@@ -75,7 +75,7 @@ def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal"):
         max_num_instances=num_samples,
     )
     loader = make_loader(ds, batch, infinite=False, shuffle=False,
-                         num_workers=2)
+                         num_workers=2, drop_last=False)
 
     hook = SaveImagesHook(save_dir="fid_samples", save_compressed=True,
                           max_save_images=4)

@@ -61,17 +61,21 @@ def main(num_prompts=20, batch=4, workdir="/tmp/geneval_rehearsal",
     conditioner = registry.instantiate(model_cfg["conditioner"])
     sampler = registry.instantiate(model_cfg["diffusion_sampler"])
 
-    # first num_prompts lines of the vendored GenEval metadata
+    # first num_prompts lines of the vendored GenEval metadata (clamped to
+    # what the file actually holds — 553 prompts upstream)
     subset_path = os.path.join(workdir, "geneval_subset.jsonl")
     os.makedirs(workdir, exist_ok=True)
     with open(META) as fp:
-        lines = [next(fp) for _ in range(num_prompts)]
+        lines = fp.readlines()[:num_prompts]
+    num_prompts = len(lines)
     with open(subset_path, "w") as fp:
         fp.writelines(lines)
 
     ds = GenEvalDataset(subset_path, samples_per_prompt, (3, size, size))
+    # drop_last=False: every prompt/seed must reach the scorer layout even
+    # when batch does not divide the sample count
     loader = make_loader(ds, batch, infinite=False, shuffle=False,
-                         num_workers=2)
+                         num_workers=2, drop_last=False)
 
     cond0, _ = conditioner(["warmup"])
     params = jax.jit(denoiser.init)(

@@ -37,7 +37,7 @@ def run(enable_freq: bool, steps: int):
     model = DeCoC2I(in_channels=3, patch_size=8, num_groups=4, hidden_size=64,
                     hidden_size_x=16, num_blocks=4, num_cond_blocks=2,
                     num_classes=10)
-    trainer = DeCoTrainer(scheduler=LinearScheduler(),
+    trainer = DeCoTrainer(scheduler=LinearScheduler(), lognorm_t=True,
                           enable_freq_loss=enable_freq)
     rng = jax.random.PRNGKey(0)
     batch = 8

@@ -30,7 +30,8 @@ def make_state_and_step(**step_kw):
     )
     tx = optax.adamw(1e-3)
     state = TrainState.create(params, tx)
-    trainer = DeCoTrainer(scheduler=LinearScheduler(), null_condition_p=0.2)
+    trainer = DeCoTrainer(scheduler=LinearScheduler(), lognorm_t=True,
+                          null_condition_p=0.2)
     apply_fn = lambda p, xt, t, y: model.apply(p, xt, t, y)
     step = make_train_step(apply_fn, trainer, **step_kw)
     batch = dict(
@@ -265,9 +266,20 @@ def test_ema_decay_schedule_matches_reference():
         dict(use_ema_warmup=True, inv_gamma=3.0, power=0.75,
              min_decay=0.2, decay=0.995),
         dict(update_after_step=5),
+        # pathological min_decay > decay: the reference applies max() last
+        # so min_decay wins
+        dict(min_decay=0.95, decay=0.9),
     ):
         ema = mod.EMAModel([torch.zeros(1)], **kwargs)
         for step in [0, 1, 2, 3, 7, 10, 100, 31600, 1000000]:
             want = ema.get_decay(step)
             got = float(ema_decay_schedule(step, **kwargs))
             assert abs(got - want) < 1e-6, (kwargs, step, got, want)
+
+    # update_every: off-grid steps yield factor 1.0 (EMA unchanged), on-grid
+    # steps match the reference get_decay — mirrors EMAModel.step():117-121
+    for step in range(1, 12):
+        got = float(ema_decay_schedule(step, update_every=3))
+        ema = mod.EMAModel([torch.zeros(1)])
+        want = ema.get_decay(step) if (step - 1) % 3 == 0 else 1.0
+        assert abs(got - want) < 1e-6, (step, got, want)

@@ -220,3 +220,45 @@ class TestLegacyTiTokLosses:
 
         v = g(params, x, x * 0.5, jnp.int32(3))
         assert np.isfinite(float(v))
+
+
+def test_stochastic_vae_kl_reduction_matches_diffusers():
+    """The reference KL is diffusers DiagonalGaussianDistribution.kl():
+    0.5 * SUM(mean^2 + var - 1 - logvar) over the latent dims PER SAMPLE,
+    then batch mean (encoder_ae.py:345-353 returns posterior.kl().mean()) —
+    not a global mean, which would shrink the term by N*latent_ch and
+    silently rescale kl_weight. Pin our encode_latent KL on a crafted
+    latent against the formula, incl. the [-30, 20] logvar clamp."""
+    import jax
+    import jax.numpy as jnp
+
+    from deco_tpu.models.uniflow.vit import ViTConfig
+    from deco_tpu.models.vae_models import VAEModel
+
+    model = VAEModel(
+        vit=ViTConfig(hidden_size=16, num_layers=1, num_heads=2,
+                      intermediate_size=32, patch_size=14, image_size=28,
+                      qk_normalization=True, norm_type="rms_norm"),
+        llm_hidden_size=12, latent_channel=4, gen_select_layer=1,
+        stochastic=True, decoder_channels=(8, 8), decoder_layers=(1, 1),
+        decoder_attn=(False, False), dtype=jnp.float32,
+    )
+    x = jnp.zeros((2, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    rs = np.random.RandomState(5)
+    width = params["params"]["latent_projector"]["mlp_blocks_0"][
+        "norm"]["weight"].shape[0]
+    feats = jnp.asarray(rs.randn(2, 4, width).astype(np.float32))
+
+    latent, extras = model.apply(params, feats, method=VAEModel.encode_latent)
+    moments = model.apply(
+        params, feats,
+        method=lambda m, f: m.latent_projector(f))
+    mean, logvar = np.split(np.asarray(moments, np.float64), 2, axis=-1)
+    logvar = np.clip(logvar, -30.0, 20.0)
+    want = np.mean(0.5 * np.sum(
+        np.exp(logvar) + mean**2 - 1.0 - logvar, axis=(1, 2)))
+    np.testing.assert_allclose(float(extras["kl"]), want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(latent), mean.astype(np.float32),
+                               rtol=1e-5, atol=1e-6)
