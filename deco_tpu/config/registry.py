@@ -262,8 +262,25 @@ class _AdafactorConfig:
     """Optimizer settings node -> optax.adafactor factory (extension:
     no reference counterpart; see PARITY round-3 t2i single-chip row)."""
 
-    def __init__(self, lr: float = 1e-4, **kw):
+    # transformers.Adafactor knobs whose optax.adafactor defaults already
+    # match the intent (factored second moments, relative-step off when an
+    # explicit lr is given) — accepted silently
+    _DEFAULT_OK = {"scale_parameter", "relative_step", "warmup_init"}
+
+    def __init__(self, lr: float = 1e-4, weight_decay: float = 0.0, **kw):
         self.lr = lr
+        unknown = set(kw) - self._DEFAULT_OK
+        if unknown or weight_decay:
+            # mirror BaseSampler's loud-kwarg policy: a knob this factory
+            # cannot honor must not be silently dropped (optax.adafactor has
+            # no decoupled weight decay; approximating it via chained
+            # add_decayed_weights changes the update semantics)
+            bad = sorted(unknown) + (
+                ["weight_decay"] if weight_decay else [])
+            raise TypeError(
+                f"Adafactor optimizer node has unsupported args {bad}; "
+                f"supported: lr (+{sorted(self._DEFAULT_OK)} at their "
+                "defaults, weight_decay only at 0)")
 
     def build(self):
         import optax

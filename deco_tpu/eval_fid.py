@@ -98,4 +98,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() is not None else 1)
+    # non-zero exit on a degenerate score (singular covariance etc.) so
+    # scripted eval pipelines don't treat a broken run as success
+    import numpy as _np
+
+    sys.exit(0 if _np.isfinite(main()) else 1)

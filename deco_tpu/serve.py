@@ -42,12 +42,21 @@ class Pipeline:
         self.base_resolution = base_resolution
         self._jit_cache = {}
 
+    # FIFO bound on (resolution, protocol) entries: each holds jitted
+    # executables (a chunked sampler pins up to 32 segment programs), so an
+    # unbounded dict would leak compiled programs in a long-lived server
+    # cycling request shapes — the same leak sample_chunked's internal cache
+    # bounds one level down (diffusion/sampling.py).
+    _JIT_CACHE_MAX = 16
+
     def _get_sampler_fn(self, height, width, num_steps, order, cfg, timeshift,
                         dispatch_chunks=0):
         key = (height, width, num_steps, order, cfg, timeshift,
                dispatch_chunks)
         if key in self._jit_cache:
             return self._jit_cache[key]
+        while len(self._jit_cache) >= self._JIT_CACHE_MAX:
+            self._jit_cache.pop(next(iter(self._jit_cache)))
         sampler = AdamLMSampler(
             scheduler=self.scheduler, order=order, num_steps=num_steps,
             guidance=cfg, timeshift=timeshift,

@@ -53,8 +53,10 @@ class SaveImagesHook:
             # conditioners put device arrays into metadata (valid_length_y);
             # anything array-like with a leading batch dim must be sliced,
             # not passed whole-batch into every sample's record
-            if isinstance(v, (list, np.ndarray)):
+            if isinstance(v, list):
                 return v[i] if len(v) == batch else v
+            if isinstance(v, np.ndarray):
+                return v[i] if v.ndim >= 1 and len(v) == batch else v
             if hasattr(v, "__array__") and not isinstance(v, (str, bytes)):
                 arr = np.asarray(v)
                 return arr[i] if arr.ndim >= 1 and len(arr) == batch else arr

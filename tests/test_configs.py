@@ -117,3 +117,20 @@ def test_adafactor_optimizer_node():
         node = instantiate({"class_path": cp, "init_args": {"lr": 3e-4}})
         tx = node.build()
         assert isinstance(tx, optax.GradientTransformation)
+
+
+def test_adafactor_node_rejects_unhonorable_args():
+    """A knob the factory cannot honor must fail loudly, not be silently
+    dropped (the BaseSampler kwargs policy applied to optimizer nodes)."""
+    import pytest as _pytest
+
+    # defaults-compatible transformers.Adafactor knobs pass through
+    node = instantiate({"class_path": "transformers.Adafactor",
+                        "init_args": {"lr": 3e-4, "scale_parameter": False}})
+    node.build()
+    with _pytest.raises(TypeError, match="weight_decay"):
+        instantiate({"class_path": "transformers.Adafactor",
+                     "init_args": {"lr": 3e-4, "weight_decay": 0.01}})
+    with _pytest.raises(TypeError, match="beta1"):
+        instantiate({"class_path": "optax.adafactor",
+                     "init_args": {"lr": 3e-4, "beta1": 0.9}})

@@ -68,6 +68,15 @@ class TestPipeline:
             pipeline(["a cat"], height=32, width=32, num_steps=2,
                      dispatch_chunks=2, return_trajectories=True)
 
+    def test_jit_cache_bounded(self, pipeline):
+        # each cache entry pins jitted executables; a long-lived server
+        # cycling protocols must evict FIFO instead of leaking programs
+        pipeline._jit_cache.clear()
+        for i in range(pipeline._JIT_CACHE_MAX + 4):
+            pipeline._get_sampler_fn(32, 32, 2, 1, 1.0 + i, 3.0)
+        assert len(pipeline._jit_cache) == pipeline._JIT_CACHE_MAX
+        pipeline._jit_cache.clear()
+
     def test_resolution_rounding(self, pipeline):
         imgs = pipeline(["x"], height=45, width=37, num_steps=2, cfg=1.5)
         assert imgs[0].size == (32, 32)  # rounded down to /32
