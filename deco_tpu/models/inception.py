@@ -151,7 +151,13 @@ class InceptionV3Features(nn.Module):
     @nn.compact
     def __call__(self, x01):
         b = x01.shape[0]
-        x = jax.image.resize(x01, (b, 299, 299, 3), "bilinear")
+        # antialias=False matches the reference FID construction
+        # (compute_metrics.py:36, FrechetInceptionDistance(antialias=False) ->
+        # torch F.interpolate bilinear): jax.image.resize defaults to
+        # antialias=True, which filters differently whenever inputs are
+        # LARGER than 299 (512px validation); upscaling is unaffected.
+        x = jax.image.resize(x01, (b, 299, 299, 3), "bilinear",
+                             antialias=False)
         x = x * 2.0 - 1.0  # inception normalization
         x = ConvBN(32, (3, 3), strides=(2, 2), dtype=self.dtype,
                    name="Conv2d_1a_3x3")(x)

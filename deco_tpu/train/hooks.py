@@ -129,9 +129,14 @@ class ComputeMetricsHook:
     def reset(self):
         from deco_tpu.train.metrics import FIDStats
 
-        self._psnr_sum = 0.0
+        # torchmetrics-protocol accumulators (compute_metrics.py:27-28, the
+        # variant every shipped config selects): PSNR pools ONE global SSE
+        # over the epoch (dim=None), SSIM sums per-image means. Plain sums
+        # merge exactly across batches and hosts.
+        self._sse = 0.0
+        self._n_obs = 0.0
         self._ssim_sum = 0.0
-        self._n_batches = 0
+        self._n_images = 0.0
         self._real = FIDStats(self._fid_dim)
         self._fake = FIDStats(self._fid_dim)
         self._inception_apply = None
@@ -165,13 +170,19 @@ class ComputeMetricsHook:
         """Both (B, H, W, 3) uint8 host arrays (fp2uint8 output)."""
         import jax.numpy as jnp
 
-        from deco_tpu.train.metrics import psnr, ssim
+        from deco_tpu.train.metrics import squared_error_stats, ssim
 
-        p = jnp.asarray(pred_uint8, jnp.float32)
-        o = jnp.asarray(original_uint8, jnp.float32)
-        self._psnr_sum += float(psnr(p, o, data_range=self.data_range))
-        self._ssim_sum += float(ssim(p, o, data_range=self.data_range))
-        self._n_batches += 1
+        # torchmetrics with a (0, range) tuple clamps before updating
+        # (no-op for uint8-sourced inputs, kept for exact protocol).
+        p = jnp.clip(jnp.asarray(pred_uint8, jnp.float32), 0, self.data_range)
+        o = jnp.clip(jnp.asarray(original_uint8, jnp.float32), 0,
+                     self.data_range)
+        sse, n = squared_error_stats(p, o)
+        self._sse += sse
+        self._n_obs += n
+        self._ssim_sum += float(jnp.sum(
+            ssim(p, o, data_range=self.data_range, per_image=True)))
+        self._n_images += float(p.shape[0])
         if self.compute_fid:
             self._real.update(self._features(original_uint8))
             self._fake.update(self._features(pred_uint8))
@@ -179,16 +190,17 @@ class ComputeMetricsHook:
     def on_epoch_end(self, prefix: str = "metrics") -> dict:
         import jax
 
-        from deco_tpu.train.metrics import frechet_distance
+        from deco_tpu.train.metrics import frechet_distance, psnr_from_stats
 
-        psnr_sum, ssim_sum, n = self._psnr_sum, self._ssim_sum, self._n_batches
+        sse, n_obs = self._sse, self._n_obs
+        ssim_sum, n_images = self._ssim_sum, self._n_images
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             gathered = multihost_utils.process_allgather(
-                np.asarray([psnr_sum, ssim_sum, float(n)])
+                np.asarray([sse, n_obs, ssim_sum, n_images])
             )
-            psnr_sum, ssim_sum, n = gathered.sum(0)
+            sse, n_obs, ssim_sum, n_images = gathered.sum(0)
             for stats in (self._real, self._fake):
                 parts = multihost_utils.process_allgather(
                     np.concatenate([[stats.n], stats.s1, stats.s2.ravel()])
@@ -199,9 +211,10 @@ class ComputeMetricsHook:
                 stats.s1 = total[1:1 + d]
                 stats.s2 = total[1 + d:].reshape(d, d)
         out = {}
-        if n:
-            out[f"{prefix}/psnr"] = psnr_sum / n
-            out[f"{prefix}/ssim"] = ssim_sum / n
+        if n_images:
+            out[f"{prefix}/psnr"] = psnr_from_stats(
+                sse, n_obs, data_range=self.data_range)
+            out[f"{prefix}/ssim"] = ssim_sum / n_images
         if self.compute_fid and self._real.n > 1:
             out[f"{prefix}/fid"] = frechet_distance(
                 *self._real.finalize(), *self._fake.finalize()

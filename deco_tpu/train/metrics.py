@@ -17,11 +17,40 @@ import numpy as np
 
 
 def psnr(pred, target, data_range: float = 255.0):
-    """Peak signal-to-noise ratio over NHWC batches (per-image mean)."""
+    """Peak signal-to-noise ratio over NHWC batches (per-image mean).
+
+    NOTE: this is the *per-image-mean* aggregation (the reference's
+    ``compute_metrics_orig.py`` skimage variant). The production protocol —
+    torchmetrics ``PeakSignalNoiseRatio(dim=None)`` in
+    ``compute_metrics.py:27``, the variant every shipped config selects —
+    pools ONE global MSE over the whole epoch and takes a single log at the
+    end; use :func:`squared_error_stats` + :func:`psnr_from_stats` for that
+    (what ``ComputeMetricsHook`` does). Mean-of-logs ≠ log-of-mean whenever
+    per-image MSE varies.
+    """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
     return jnp.mean(20 * jnp.log10(data_range) - 10 * jnp.log10(mse + 1e-12))
+
+
+def squared_error_stats(pred, target):
+    """(sum of squared error, element count) — the torchmetrics PSNR state.
+
+    Matches ``PeakSignalNoiseRatio.update`` with ``dim=None``
+    (``compute_metrics.py:27``): plain sums, so streaming/cross-host merges
+    are exact additions. Accumulate in float64 on the host.
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    sse = jnp.sum((pred - target) ** 2)
+    return float(np.float64(sse)), float(pred.size)
+
+
+def psnr_from_stats(sse: float, n_obs: float, data_range: float = 255.0):
+    """Global-MSE PSNR: ``10·log10(range²·n/sse)`` (torchmetrics compute)."""
+    mse = sse / max(n_obs, 1.0)
+    return float(20 * np.log10(data_range) - 10 * np.log10(max(mse, 1e-12)))
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
@@ -32,8 +61,16 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 
 def ssim(pred, target, data_range: float = 255.0, kernel_size: int = 11,
-         sigma: float = 1.5):
-    """Structural similarity (Gaussian-windowed, per-channel mean) over NHWC."""
+         sigma: float = 1.5, per_image: bool = False):
+    """Structural similarity (Gaussian-windowed, per-channel mean) over NHWC.
+
+    Matches torchmetrics ``StructuralSimilarityIndexMeasure`` defaults
+    (``compute_metrics.py:28``: gaussian 11/1.5, k1=.01, k2=.03): torchmetrics
+    reflect-pads, convolves, then crops the pad back off, which is exactly a
+    VALID-window map — averaged per image. ``per_image=True`` returns the
+    (B,) per-image means (the torchmetrics accumulator state, summed then
+    divided by total images at epoch end).
+    """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     k = _gaussian_kernel(kernel_size, sigma)[:, :, None, None]  # HWIO
@@ -57,6 +94,8 @@ def ssim(pred, target, data_range: float = 255.0, kernel_size: int = 11,
     sig_pt = filt(pred * target) - mu_pt
     num = (2 * mu_pt + c1) * (2 * sig_pt + c2)
     den = (mu_p2 + mu_t2 + c1) * (sig_p + sig_t + c2)
+    if per_image:
+        return jnp.mean(num / den, axis=(1, 2, 3))
     return jnp.mean(num / den)
 
 

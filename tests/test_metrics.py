@@ -27,6 +27,48 @@ class TestPSNRSSIM:
         y = x + jnp.asarray(rng.randn(1, 32, 32, 3) * 50)
         assert float(ssim(x, y)) < 0.9
 
+    def test_ssim_matches_independent_numpy_oracle(self):
+        """Pin the conv-based SSIM against a direct float64 sliding-window
+        implementation of the canonical Wang et al. formula with the
+        torchmetrics defaults (gaussian 11/1.5, k1=.01, k2=.03, VALID map
+        averaged per image) — neither torchmetrics nor skimage exists in this
+        image, so the oracle is written out longhand."""
+        rng = np.random.RandomState(7)
+        x = (rng.rand(2, 18, 20, 3) * 255).astype(np.float64)
+        y = np.clip(x + rng.randn(2, 18, 20, 3) * 25, 0, 255)
+
+        k = 11
+        g1 = np.exp(-((np.arange(k) - k // 2) ** 2) / (2 * 1.5 ** 2))
+        w = np.outer(g1, g1)
+        w /= w.sum()
+        c1, c2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+
+        def win_mean(img):  # (H, W) -> VALID gaussian-window means
+            H, W = img.shape
+            out = np.empty((H - k + 1, W - k + 1))
+            for i in range(out.shape[0]):
+                for j in range(out.shape[1]):
+                    out[i, j] = np.sum(img[i:i + k, j:j + k] * w)
+            return out
+
+        expected = []
+        for b in range(x.shape[0]):
+            vals = []
+            for c in range(x.shape[-1]):
+                xp, yp = x[b, :, :, c], y[b, :, :, c]
+                mx, my = win_mean(xp), win_mean(yp)
+                sx = win_mean(xp * xp) - mx * mx
+                sy = win_mean(yp * yp) - my * my
+                sxy = win_mean(xp * yp) - mx * my
+                m = ((2 * mx * my + c1) * (2 * sxy + c2)
+                     / ((mx * mx + my * my + c1) * (sx + sy + c2)))
+                vals.append(m.mean())
+            expected.append(np.mean(vals))
+
+        got = np.asarray(ssim(jnp.asarray(x, jnp.float32),
+                              jnp.asarray(y, jnp.float32), per_image=True))
+        np.testing.assert_allclose(got, np.asarray(expected), atol=2e-5)
+
 
 class TestFID:
     def test_identical_distributions_zero(self):
@@ -195,7 +237,63 @@ class TestComputeMetricsHook:
         np.testing.assert_allclose(scores["metrics/ssim"], 1.0, atol=1e-5)
         assert abs(scores["metrics/fid"]) < 1e-3
         # state reset for the next epoch
-        assert hook._n_batches == 0
+        assert hook._n_images == 0
+
+    def test_psnr_pools_global_sse_like_torchmetrics(self):
+        """The production protocol (compute_metrics.py:27,
+        PeakSignalNoiseRatio(dim=None)) pools ONE epoch-global MSE — a
+        mean of per-batch PSNRs is a different (wrong) number whenever the
+        per-batch MSE varies. Pin the hook to the global pooling, with
+        uneven batch sizes so mean-of-means would also diverge."""
+        from deco_tpu.train.hooks import ComputeMetricsHook
+        from deco_tpu.train.metrics import psnr
+
+        rng = np.random.RandomState(3)
+        origs = [rng.randint(0, 256, (b, 16, 16, 3)).astype(np.uint8)
+                 for b in (5, 2)]
+        # very different per-batch error scales
+        preds = [np.clip(o.astype(np.int32) + rng.randint(-d, d + 1, o.shape),
+                         0, 255).astype(np.uint8)
+                 for o, d in zip(origs, (2, 60))]
+        hook = ComputeMetricsHook(compute_fid=False)
+        for p, o in zip(preds, origs):
+            hook.on_batch_end(p, o)
+        scores = hook.on_epoch_end()
+
+        sse = sum(np.sum((p.astype(np.float64) - o.astype(np.float64)) ** 2)
+                  for p, o in zip(preds, origs))
+        n = sum(p.size for p in preds)
+        expected = 10 * np.log10(255.0 ** 2 / (sse / n))
+        np.testing.assert_allclose(scores["metrics/psnr"], expected, rtol=1e-6)
+
+        per_batch_mean = np.mean([float(psnr(jnp.asarray(p, jnp.float32),
+                                             jnp.asarray(o, jnp.float32)))
+                                  for p, o in zip(preds, origs)])
+        assert abs(per_batch_mean - expected) > 0.5  # protocols truly differ
+
+    def test_ssim_weighs_images_not_batches(self):
+        """torchmetrics SSIM state is (sum of per-image means, n_images);
+        with uneven batches a mean of per-batch means is a different number."""
+        from deco_tpu.train.hooks import ComputeMetricsHook
+        from deco_tpu.train.metrics import ssim
+
+        rng = np.random.RandomState(4)
+        origs = [rng.randint(0, 256, (b, 16, 16, 3)).astype(np.uint8)
+                 for b in (4, 1)]
+        preds = [np.clip(o.astype(np.int32) + rng.randint(-d, d + 1, o.shape),
+                         0, 255).astype(np.uint8)
+                 for o, d in zip(origs, (3, 80))]
+        hook = ComputeMetricsHook(compute_fid=False)
+        for p, o in zip(preds, origs):
+            hook.on_batch_end(p, o)
+        scores = hook.on_epoch_end()
+
+        per_img = np.concatenate([
+            np.asarray(ssim(jnp.asarray(p, jnp.float32),
+                            jnp.asarray(o, jnp.float32), per_image=True))
+            for p, o in zip(preds, origs)])
+        np.testing.assert_allclose(scores["metrics/ssim"], per_img.mean(),
+                                   rtol=1e-5)
 
     def test_no_fid_mode(self):
         from deco_tpu.train.hooks import ComputeMetricsHook
