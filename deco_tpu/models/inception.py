@@ -7,7 +7,11 @@ torchvision InceptionV3 state dict via :func:`inception_params_from_torch`
 (zero-egress environment: architecture-complete, weights-gated like the other
 frozen towers; the ADM npz export remains the canonical scoring path).
 
-Architecture follows torchvision inception_v3 (aux logits absent), NHWC.
+Architecture is the TF-ported FID tower by default (``fid_variant=True``:
+padding-excluding branch avg pools, MAX branch pool in Mixed_7c, TF1-legacy
+resize, (255x-128)/128 input scaling — what torchmetrics'
+FrechetInceptionDistance actually scores with), with the plain torchvision
+inception_v3 graph behind ``fid_variant=False``. Aux logits absent, NHWC.
 """
 
 from __future__ import annotations
@@ -39,9 +43,19 @@ class ConvBN(nn.Module):
         return nn.relu(x)
 
 
+def _branch_avg_pool(x, fid_variant: bool):
+    """3x3/1 avg pool; the FID-protocol tower (the TF port that torchmetrics'
+    FrechetInceptionDistance scores with, compute_metrics.py:36) excludes the
+    zero padding from the divisor (count_include_pad=False) — torchvision
+    includes it."""
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=not fid_variant)
+
+
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.float32
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -51,7 +65,7 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), dtype=self.dtype, name="branch3x3dbl_1")(x)
         b3 = ConvBN(96, (3, 3), padding=1, dtype=self.dtype, name="branch3x3dbl_2")(b3)
         b3 = ConvBN(96, (3, 3), padding=1, dtype=self.dtype, name="branch3x3dbl_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = _branch_avg_pool(x, self.fid_variant)
         bp = ConvBN(self.pool_features, (1, 1), dtype=self.dtype,
                     name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
@@ -75,6 +89,7 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     channels_7x7: int
     dtype: Any = jnp.float32
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -94,7 +109,7 @@ class InceptionC(nn.Module):
                     name="branch7x7dbl_4")(bd)
         bd = ConvBN(192, (1, 7), padding=((0, 0), (3, 3)), dtype=self.dtype,
                     name="branch7x7dbl_5")(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = _branch_avg_pool(x, self.fid_variant)
         bp = ConvBN(192, (1, 1), dtype=self.dtype, name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -120,6 +135,11 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.float32
+    fid_variant: bool = False
+    # The LAST block of the TF-ported FID tower (Mixed_7c) pools its branch
+    # with a MAX pool — a quirk of the original TF graph the torch ports
+    # reproduce; torchvision uses avg everywhere.
+    max_pool_branch: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -138,27 +158,71 @@ class InceptionE(nn.Module):
         bdb = ConvBN(384, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                      name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        if self.max_pool_branch:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1),
+                             padding=((1, 1), (1, 1)))
+        else:
+            bp = _branch_avg_pool(x, self.fid_variant)
         bp = ConvBN(192, (1, 1), dtype=self.dtype, name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+def tf1_bilinear_resize(x, out_h: int, out_w: int):
+    """TF1-legacy bilinear resize (align_corners=False, NO half-pixel
+    centers): source coord = i · in/out, the mapping the original TF FID
+    graph and torch-fidelity's TF1x reimplementation use. Differs from
+    jax.image.resize / torch F.interpolate, which are half-pixel. Separable:
+    one 1-D lerp per spatial axis."""
+
+    def lerp_axis(v, axis, out_size):
+        in_size = v.shape[axis]
+        scale = in_size / out_size
+        coord = jnp.arange(out_size, dtype=jnp.float32) * scale
+        lo = jnp.clip(jnp.floor(coord).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        frac = coord - lo.astype(jnp.float32)
+        shape = [1] * v.ndim
+        shape[axis] = out_size
+        frac = frac.reshape(shape)
+        a = jnp.take(v, lo, axis=axis)
+        b = jnp.take(v, hi, axis=axis)
+        return a + (b - a) * frac
+
+    x = lerp_axis(x.astype(jnp.float32), 1, out_h)
+    return lerp_axis(x, 2, out_w)
+
+
 class InceptionV3Features(nn.Module):
-    """Images in [0, 1] NHWC -> 2048-d pool3 FID features."""
+    """Images in [0, 1] NHWC -> 2048-d pool3 FID features.
+
+    ``fid_variant=True`` (default) is the FID-protocol tower — the TF-ported
+    graph that torchmetrics' ``FrechetInceptionDistance``
+    (``compute_metrics.py:36`` of the reference) and the ADM npz suite score
+    with: TF1-legacy bilinear resize to 299, ``(255·x − 128)/128``
+    normalization, padding-excluding branch avg pools, and a MAX branch pool
+    in the last block; load the ``pt_inception-2015-12-05`` port through
+    :func:`inception_params_from_torch` (same state-dict layout).
+    ``fid_variant=False`` is plain torchvision ``inception_v3`` (half-pixel
+    bilinear, ``2x−1``, avg everywhere) for torchvision google weights.
+    """
 
     dtype: Any = jnp.float32
+    fid_variant: bool = True
 
     @nn.compact
     def __call__(self, x01):
         b = x01.shape[0]
-        # antialias=False matches the reference FID construction
-        # (compute_metrics.py:36, FrechetInceptionDistance(antialias=False) ->
-        # torch F.interpolate bilinear): jax.image.resize defaults to
-        # antialias=True, which filters differently whenever inputs are
-        # LARGER than 299 (512px validation); upscaling is unaffected.
-        x = jax.image.resize(x01, (b, 299, 299, 3), "bilinear",
-                             antialias=False)
-        x = x * 2.0 - 1.0  # inception normalization
+        if self.fid_variant:
+            x = tf1_bilinear_resize(x01, 299, 299)
+            x = (x * 255.0 - 128.0) / 128.0
+        else:
+            # torchvision protocol: half-pixel bilinear (antialias=False to
+            # match torch F.interpolate — matters when inputs are LARGER
+            # than 299), then 2x-1.
+            x = jax.image.resize(x01, (b, 299, 299, 3), "bilinear",
+                                 antialias=False)
+            x = x * 2.0 - 1.0
+        fid = self.fid_variant
         x = ConvBN(32, (3, 3), strides=(2, 2), dtype=self.dtype,
                    name="Conv2d_1a_3x3")(x)
         x = ConvBN(32, (3, 3), dtype=self.dtype, name="Conv2d_2a_3x3")(x)
@@ -168,17 +232,18 @@ class InceptionV3Features(nn.Module):
         x = ConvBN(80, (1, 1), dtype=self.dtype, name="Conv2d_3b_1x1")(x)
         x = ConvBN(192, (3, 3), dtype=self.dtype, name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x)
+        x = InceptionA(32, dtype=self.dtype, fid_variant=fid, name="Mixed_5b")(x)
+        x = InceptionA(64, dtype=self.dtype, fid_variant=fid, name="Mixed_5c")(x)
+        x = InceptionA(64, dtype=self.dtype, fid_variant=fid, name="Mixed_5d")(x)
         x = InceptionB(dtype=self.dtype, name="Mixed_6a")(x)
-        x = InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x)
-        x = InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x)
+        x = InceptionC(128, dtype=self.dtype, fid_variant=fid, name="Mixed_6b")(x)
+        x = InceptionC(160, dtype=self.dtype, fid_variant=fid, name="Mixed_6c")(x)
+        x = InceptionC(160, dtype=self.dtype, fid_variant=fid, name="Mixed_6d")(x)
+        x = InceptionC(192, dtype=self.dtype, fid_variant=fid, name="Mixed_6e")(x)
         x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7b")(x)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7c")(x)
+        x = InceptionE(dtype=self.dtype, fid_variant=fid, name="Mixed_7b")(x)
+        x = InceptionE(dtype=self.dtype, fid_variant=fid,
+                       max_pool_branch=fid, name="Mixed_7c")(x)
         return x.mean(axis=(1, 2))  # (B, 2048)
 
 
