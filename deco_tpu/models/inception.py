@@ -208,9 +208,17 @@ class InceptionV3Features(nn.Module):
 
     dtype: Any = jnp.float32
     fid_variant: bool = True
+    # torchmetrics FrechetInceptionDistance(feature=...) taps: 64 = after the
+    # first max pool, 192 = after the second, 768 = Mixed_6e, 2048 = final
+    # pool3 (pytorch-fid BLOCK_INDEX_BY_DIM); each globally avg-pooled.
+    feature_dim: int = 2048
 
     @nn.compact
     def __call__(self, x01):
+        if self.feature_dim not in (64, 192, 768, 2048):
+            raise ValueError(
+                f"feature_dim {self.feature_dim} not a FID tap "
+                "(choose 64, 192, 768 or 2048)")
         b = x01.shape[0]
         if self.fid_variant:
             x = tf1_bilinear_resize(x01, 299, 299)
@@ -229,9 +237,13 @@ class InceptionV3Features(nn.Module):
         x = ConvBN(64, (3, 3), padding=1, dtype=self.dtype,
                    name="Conv2d_2b_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if self.feature_dim == 64:
+            return x.mean(axis=(1, 2))
         x = ConvBN(80, (1, 1), dtype=self.dtype, name="Conv2d_3b_1x1")(x)
         x = ConvBN(192, (3, 3), dtype=self.dtype, name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if self.feature_dim == 192:
+            return x.mean(axis=(1, 2))
         x = InceptionA(32, dtype=self.dtype, fid_variant=fid, name="Mixed_5b")(x)
         x = InceptionA(64, dtype=self.dtype, fid_variant=fid, name="Mixed_5c")(x)
         x = InceptionA(64, dtype=self.dtype, fid_variant=fid, name="Mixed_5d")(x)
@@ -240,6 +252,8 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(160, dtype=self.dtype, fid_variant=fid, name="Mixed_6c")(x)
         x = InceptionC(160, dtype=self.dtype, fid_variant=fid, name="Mixed_6d")(x)
         x = InceptionC(192, dtype=self.dtype, fid_variant=fid, name="Mixed_6e")(x)
+        if self.feature_dim == 768:
+            return x.mean(axis=(1, 2))
         x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x)
         x = InceptionE(dtype=self.dtype, fid_variant=fid, name="Mixed_7b")(x)
         x = InceptionE(dtype=self.dtype, fid_variant=fid,

@@ -148,7 +148,8 @@ class ComputeMetricsHook:
         from deco_tpu.models.inception import InceptionV3Features
 
         if self._inception_apply is None:
-            model = InceptionV3Features()
+            # feature_dim selects the torchmetrics tap (64/192/768/2048)
+            model = InceptionV3Features(feature_dim=self._fid_dim)
             if self.inception_variables is None:
                 import warnings
 

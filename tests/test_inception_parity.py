@@ -260,6 +260,35 @@ class TestFIDInceptionParity:
             np.asarray(tf1_bilinear_resize(jnp.asarray(x), 8, 8)), x,
             atol=1e-7)
 
+    def test_feature_taps_match_torchmetrics_dims(self):
+        """FrechetInceptionDistance(feature=...) taps 64/192/768/2048
+        (pytorch-fid BLOCK_INDEX_BY_DIM), each globally avg-pooled."""
+        import pytest
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.rand(1, 75, 75, 3).astype(np.float32))
+        for dim in (64, 192, 768, 2048):
+            model = InceptionV3Features(feature_dim=dim)
+            variables = model.init(jax.random.PRNGKey(0), x)
+            out = model.apply(variables, x)
+            assert out.shape == (1, dim)
+        with pytest.raises(ValueError, match="not a FID tap"):
+            InceptionV3Features(feature_dim=100).init(jax.random.PRNGKey(0), x)
+
+    def test_hook_honors_fid_feature_dim(self):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        from deco_tpu.train.hooks import ComputeMetricsHook
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 256, (3, 32, 32, 3)).astype(np.uint8)
+        hook = ComputeMetricsHook(compute_fid=True, fid_feature_dim=192)
+        hook.on_batch_end(a, a)
+        hook.on_batch_end(a, a)
+        scores = hook.on_epoch_end()
+        assert abs(scores["metrics/fid"]) < 1e-3
+
     def test_variant_flag_changes_features(self):
         """fid_variant=False (torchvision graph) must NOT equal the FID
         tower on the same weights — the pooling quirks are load-bearing."""
