@@ -141,6 +141,11 @@ class ComputeMetricsHook:
         self._fake = FIDStats(self._fid_dim)
         self._inception_apply = None
 
+    @property
+    def has_updates(self) -> bool:
+        """True once at least one batch flowed through ``on_batch_end``."""
+        return bool(self._n_images)
+
     def _features(self, images_uint8: np.ndarray) -> np.ndarray:
         import jax
         import jax.numpy as jnp

@@ -329,7 +329,7 @@ class Experiment:
                     metrics_hook.on_batch_end(
                         u8, np.asarray(jax.device_get(
                             fp_to_uint8(jnp.asarray(bx)))))
-        if metrics_hook is not None and metrics_hook._n_batches:
+        if metrics_hook is not None and metrics_hook.has_updates:
             scores = metrics_hook.on_epoch_end()
             if jax.process_index() == 0:
                 with open(os.path.join(self.workdir, "predict_metrics.json"),

@@ -48,9 +48,15 @@ def squared_error_stats(pred, target):
 
 
 def psnr_from_stats(sse: float, n_obs: float, data_range: float = 255.0):
-    """Global-MSE PSNR: ``10·log10(range²·n/sse)`` (torchmetrics compute)."""
+    """Global-MSE PSNR: ``10·log10(range²·n/sse)`` (torchmetrics compute).
+
+    A bit-perfect reconstruction (sse == 0) returns ``inf``, exactly like
+    torchmetrics ``PeakSignalNoiseRatio`` (log10(0) → -inf → PSNR +inf).
+    """
     mse = sse / max(n_obs, 1.0)
-    return float(20 * np.log10(data_range) - 10 * np.log10(max(mse, 1e-12)))
+    if mse == 0.0:
+        return float("inf")
+    return float(20 * np.log10(data_range) - 10 * np.log10(mse))
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5):

@@ -142,6 +142,51 @@ class TestEndToEnd:
                 if f.endswith(".png")]
         assert len(pngs) > 0
 
+    def test_predict_with_metrics_hook_writes_predict_metrics(
+            self, config, image_root, tmp_path):
+        """Regression: the CLI predict path with a ComputeMetricsHook config
+        (every reference vae/ReCo config wires one) must aggregate and write
+        predict_metrics.json — a rename once left loop.py reading a stale
+        private attribute, raising AttributeError after sampling and losing
+        both the metrics and the ADM npz export."""
+        from deco_tpu.train.loop import Experiment
+
+        cfg = dict(config)
+        cfg["tags"] = {"exp": "metrics_predict_test"}
+        cfg["trainer"] = dict(
+            config["trainer"],
+            default_root_dir=str(tmp_path),
+            max_steps=1,
+            callbacks=config["trainer"]["callbacks"] + [{
+                "class_path":
+                    "src.callbacks.compute_metrics.ComputeMetricsHook",
+                "init_args": {"compute_fid": False},
+            }],
+        )
+        # a pred dataset whose metadata carries raw_image (reconstruction
+        # protocol) so the hook's on_batch_end branch actually runs
+        cfg["data"] = dict(
+            config["data"],
+            pred_dataset={
+                "class_path": "src.data.dataset.imagenet.PixImageNet",
+                "init_args": {"root": image_root, "resolution": 16},
+            },
+        )
+        exp = Experiment(cfg)
+        state = exp.fit()
+        npz_path = exp.predict(state=state)
+        assert npz_path is not None and os.path.exists(npz_path)
+        mpath = os.path.join(exp.workdir, "predict_metrics.json")
+        assert os.path.exists(mpath)
+        scores = json.load(open(mpath))
+        assert "metrics/psnr" in scores and "metrics/ssim" in scores
+        # NOTE: inf is legitimate here — the DiT head is zero-init, so a
+        # 1-step-trained model integrates ~zero velocity and the Euler
+        # sampler reproduces its (image-seeded) input bit-exactly; the
+        # torchmetrics-exact PSNR of a perfect reconstruction is +inf.
+        assert not np.isnan(scores["metrics/psnr"])
+        assert scores["metrics/psnr"] > 0
+
     def test_sigterm_preemption_checkpoints_and_exits_cleanly(
             self, config, monkeypatch, tmp_path):
         """First SIGTERM mid-fit -> loop breaks, final forced checkpoint

@@ -239,6 +239,15 @@ class TestComputeMetricsHook:
         # state reset for the next epoch
         assert hook._n_images == 0
 
+    def test_psnr_inf_on_perfect_reconstruction(self):
+        """torchmetrics PeakSignalNoiseRatio returns +inf for a bit-perfect
+        reconstruction (log10(0) → -inf); the stats path must match rather
+        than flooring MSE."""
+        from deco_tpu.train.metrics import psnr_from_stats
+
+        assert psnr_from_stats(0.0, 1024.0) == float("inf")
+        assert np.isfinite(psnr_from_stats(1.0, 1024.0))
+
     def test_psnr_pools_global_sse_like_torchmetrics(self):
         """The production protocol (compute_metrics.py:27,
         PeakSignalNoiseRatio(dim=None)) pools ONE epoch-global MSE — a
