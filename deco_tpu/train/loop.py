@@ -291,10 +291,18 @@ class Experiment:
 
             metrics_hook = ComputeMetricsHook(**self.metrics_hook_cfg)
         rng = jax.random.PRNGKey(1234)
-        with jax.set_mesh(self.mesh):
+
+        # Software-pipelined predict (utils/pipeline.py): batch k+1's device
+        # work is dispatched before batch k's blocking readback, so the chip
+        # never idles for host-side PNG/npz/metric work. The reference loop is
+        # strictly serial per batch (src/lightning_model.py:261-316 under
+        # Lightning). depth=0 degrades to the serial order (A/B baseline).
+        from deco_tpu.utils.pipeline import pipelined_map
+
+        def batches():
             for bi, (bx, by, bmeta) in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
-                    break
+                    return
                 cond, uncond = self._condition(bx, by, bmeta)
                 if self._cond_on_images:
                     # reconstruction predict: the loader yields images (the
@@ -305,30 +313,44 @@ class Experiment:
                 else:
                     noise = jnp.asarray(bx)
                 noise = mesh_lib.shard_batch(self.mesh, noise)
-                imgs = sample(params, noise, cond, uncond,
-                              jax.random.fold_in(rng, bi))
-                imgs = self.vae.decode(imgs)
-                u8 = np.asarray(jax.device_get(fp_to_uint8(imgs)))
-                hook.on_predict_batch_end(u8, bmeta)
-                if self._cond_on_images:
-                    # reconstruction: original|generated side-by-side
-                    orig = np.asarray(jax.device_get(
-                        fp_to_uint8(jnp.asarray(bx))))
-                    imlog.log_side_by_side(int(state.step), orig, u8)
-                elif bi == 0:
-                    imlog.log_images(int(state.step), u8)
-                if metrics_hook is not None and "raw_image" in bmeta:
-                    raw = np.asarray(bmeta["raw_image"], np.float32)
-                    if raw.ndim == 4 and raw.shape[1] in (1, 3):
-                        raw = raw.transpose(0, 2, 3, 1)  # torch-layout datasets
-                    metrics_hook.on_batch_end(
-                        u8, np.clip(raw * 255.0, 0, 255).astype(np.uint8)
-                    )
-                elif metrics_hook is not None and self._cond_on_images:
-                    # reconstruction eval: the original IS the loader image
-                    metrics_hook.on_batch_end(
-                        u8, np.asarray(jax.device_get(
-                            fp_to_uint8(jnp.asarray(bx)))))
+                yield bi, bx, bmeta, cond, uncond, noise
+
+        def dispatch(b):
+            bi, bx, bmeta, cond, uncond, noise = b
+            imgs = sample(params, noise, cond, uncond,
+                          jax.random.fold_in(rng, bi))
+            imgs = self.vae.decode(imgs)
+            u8_dev = fp_to_uint8(imgs)
+            orig_dev = (fp_to_uint8(jnp.asarray(bx))
+                        if self._cond_on_images else None)
+            return u8_dev, orig_dev
+
+        def consume(out, b):
+            bi, bx, bmeta = b[0], b[1], b[2]
+            u8_dev, orig_dev = out
+            u8 = np.asarray(jax.device_get(u8_dev))
+            hook.on_predict_batch_end(u8, bmeta)
+            if self._cond_on_images:
+                # reconstruction: original|generated side-by-side
+                orig = np.asarray(jax.device_get(orig_dev))
+                imlog.log_side_by_side(int(state.step), orig, u8)
+            elif bi == 0:
+                imlog.log_images(int(state.step), u8)
+            if metrics_hook is not None and "raw_image" in bmeta:
+                raw = np.asarray(bmeta["raw_image"], np.float32)
+                if raw.ndim == 4 and raw.shape[1] in (1, 3):
+                    raw = raw.transpose(0, 2, 3, 1)  # torch-layout datasets
+                metrics_hook.on_batch_end(
+                    u8, np.clip(raw * 255.0, 0, 255).astype(np.uint8)
+                )
+            elif metrics_hook is not None and self._cond_on_images:
+                # reconstruction eval: the original IS the loader image
+                metrics_hook.on_batch_end(
+                    u8, np.asarray(jax.device_get(orig_dev)))
+
+        depth = int(self.config["data"].get("pred_pipeline_depth", 1))
+        with jax.set_mesh(self.mesh):
+            pipelined_map(batches(), dispatch, consume, depth=depth)
         if metrics_hook is not None and metrics_hook.has_updates:
             scores = metrics_hook.on_epoch_end()
             if jax.process_index() == 0:

@@ -14,7 +14,8 @@ environment), so the FID *value* is meaningless — the rehearsal validates the
 pipeline mechanics + wall-clock at protocol settings and extrapolates to the
 50k-sample run.
 
-Usage: python scripts/fid_rehearsal.py [num_samples=2000] [batch=20]
+Usage: python scripts/fid_rehearsal.py [num_samples=2000] [batch=20] [depth=1]
+(depth = software-pipeline depth; 0 = serial baseline for A/B)
 """
 
 import os
@@ -30,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal"):
+def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal", depth=1):
     from deco_tpu.data.loader import make_loader
     from deco_tpu.data.randn import ClassLabelRandomNDataset
     from deco_tpu.diffusion.sampling import EulerSampler
@@ -64,9 +65,11 @@ def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal"):
     )
 
     @jax.jit
-    def sample(params, noise, cond, uncond):
+    def sample_u8(params, noise, cond, uncond):
         net = lambda x, t, y: model.apply(params, x, t, y)
-        return sampler(net, noise, cond, uncond)
+        # uint8 conversion fused into the dispatch: one jit call per batch,
+        # and readback moves 1/4 the bytes of fp32
+        return fp_to_uint8(sampler(net, noise, cond, uncond))
 
     # the reference FID dataset: per-sample torch.Generator(seed) noise,
     # condition cycling over 1000 classes (src/data/dataset/randn.py:38-91)
@@ -81,22 +84,39 @@ def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal"):
                           max_save_images=4)
     hook.on_predict_start(workdir, 0)
 
+    # Software-pipelined device->host loop (utils/pipeline.py): batch k+1 is
+    # dispatched before batch k's blocking readback so the chip never idles
+    # for npz accumulation / noise synthesis. depth=0 = the serial baseline.
+    from deco_tpu.utils.pipeline import pipelined_map
+
     t_start = time.perf_counter()
-    n_done = 0
-    for noise, label, meta in loader:
-        if n_done >= num_samples:
-            break
-        noise = jnp.asarray(np.asarray(noise), jnp.float32)
-        cond = jnp.asarray(np.asarray(label), jnp.int32)
-        uncond = jnp.full_like(cond, 1000)
-        imgs = sample(params, noise, cond, uncond)
-        u8 = np.asarray(jax.device_get(fp_to_uint8(imgs)))
-        hook.on_predict_batch_end(u8, meta)
-        n_done += u8.shape[0]
-        if n_done % (batch * 10) == 0:
-            rate = n_done / (time.perf_counter() - t_start)
-            print(f"# {n_done}/{num_samples} at {rate:.2f} img/s",
+    progress = {"n": 0}
+
+    def batches():
+        seen = 0
+        for noise, label, meta in loader:
+            if seen >= num_samples:
+                return
+            noise = jnp.asarray(np.asarray(noise), jnp.float32)
+            cond = jnp.asarray(np.asarray(label), jnp.int32)
+            yield noise, cond, jnp.full_like(cond, 1000), meta
+            seen += int(cond.shape[0])
+
+    def dispatch(b):
+        noise, cond, uncond, _ = b
+        return sample_u8(params, noise, cond, uncond)
+
+    def consume(out, b):
+        u8 = np.asarray(jax.device_get(out))
+        hook.on_predict_batch_end(u8, b[3])
+        progress["n"] += u8.shape[0]
+        if progress["n"] % (batch * 10) == 0:
+            rate = progress["n"] / (time.perf_counter() - t_start)
+            print(f"# {progress['n']}/{num_samples} at {rate:.2f} img/s",
                   file=sys.stderr)
+
+    pipelined_map(batches(), dispatch, consume, depth=depth)
+    n_done = progress["n"]
     npz_path = hook.on_predict_end()
     elapsed = time.perf_counter() - t_start
 
@@ -127,4 +147,5 @@ def main(num_samples=2000, batch=20, workdir="/tmp/fid_rehearsal"):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    main(n, b)
+    d = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    main(n, b, depth=d)
