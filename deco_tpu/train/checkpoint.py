@@ -32,8 +32,11 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def maybe_save(self, state: TrainState, force: bool = False) -> bool:
-        step = int(state.step)
+    def maybe_save(self, state: TrainState, force: bool = False,
+                   step: Optional[int] = None) -> bool:
+        # callers that track the step on the host pass it to avoid forcing a
+        # device sync on every call (the async train loop relies on this)
+        step = int(state.step) if step is None else int(step)
         if not force and (self.every_n_steps <= 0 or step % self.every_n_steps != 0):
             return False
         payload = dict(

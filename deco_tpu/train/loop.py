@@ -41,6 +41,11 @@ def _nhwc_latent_shape(latent_shape):
 
 
 class Experiment:
+    # how many train steps the host may dispatch ahead of the chip (fit()):
+    # >=1 overlaps batch prep/H2D with device compute; small so queued input
+    # buffers stay bounded at near-OOM batch sizes
+    _TRAIN_RUNAHEAD = 2
+
     def __init__(self, config: Dict[str, Any], workdir: Optional[str] = None,
                  resume: bool = False):
         self.config = config
@@ -211,10 +216,19 @@ class Experiment:
 
         from deco_tpu.utils.preemption import PreemptionGuard
 
+        # The step counter is tracked on the host: reading int(state.step)
+        # every iteration would block on the previous dispatch, serializing
+        # host batch prep (conditioning, H2D transfer, sharding) with device
+        # compute. With JAX async dispatch the host instead runs up to
+        # _TRAIN_RUNAHEAD steps ahead of the chip; the deque bounds in-flight
+        # input buffers (each queued batch pins its H2D staging in HBM).
+        from collections import deque
+
+        inflight: deque = deque()
         try:
             with jax.set_mesh(self.mesh), PreemptionGuard() as preempt:
+                step = int(state.step)
                 for bi, (bx, by, bmeta) in enumerate(loader):
-                    step = int(state.step)
                     if step >= limit or preempt.requested:
                         break
                     cond, uncond = self._condition(bx, by, bmeta)
@@ -236,7 +250,11 @@ class Experiment:
                         state, batch, jax.random.fold_in(rng, step)
                     )
                     logger.log(step, metrics)
-                    ckpt.maybe_save(state)
+                    ckpt.maybe_save(state, step=step + 1)
+                    step += 1
+                    inflight.append(metrics)
+                    if len(inflight) > self._TRAIN_RUNAHEAD:
+                        jax.block_until_ready(inflight.popleft())
         except BaseException:
             # on-exception checkpoint (the hook the reference left commented
             # out, model_checkpoint.py:21-23) — crash/preemption recovery

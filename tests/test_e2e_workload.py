@@ -228,6 +228,30 @@ class TestEndToEnd:
             signal.SIG_DFL, signal.default_int_handler, None,
         ) or callable(signal.getsignal(signal.SIGTERM))
 
+    def test_resume_continues_from_checkpoint(self, config, tmp_path):
+        # restore mid-run and keep training: the host-tracked step counter
+        # (loop.py fit) must pick up at the restored step, and the checkpoint
+        # cadence must stay aligned to global steps
+        from deco_tpu.train.loop import Experiment
+
+        cfg = dict(config)
+        cfg["tags"] = {"exp": "resume_test"}
+        cfg["trainer"] = dict(config["trainer"],
+                              default_root_dir=str(tmp_path), max_steps=3)
+        state = Experiment(cfg).fit()
+        assert int(state.step) == 3
+
+        cfg2 = dict(cfg)
+        cfg2["trainer"] = dict(cfg["trainer"], max_steps=6)
+        exp2 = Experiment(cfg2, resume=True)
+        state2 = exp2.fit()  # auto-restores the latest checkpoint (step 3)
+        assert int(state2.step) == 6
+        ckpt_steps = sorted(
+            int(d) for d in os.listdir(
+                os.path.join(exp2.workdir, "checkpoints")) if d.isdigit())
+        # interval 2 -> steps 2,4,6 (+ forced final 3 from run 1)
+        assert 4 in ckpt_steps and 6 in ckpt_steps
+
     def test_workdir_guard(self, config):
         from deco_tpu.train.loop import Experiment
 
