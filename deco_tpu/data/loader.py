@@ -134,16 +134,29 @@ class ShardedLoader:
                                micro_batch=micro)
 
             def producer():
-                futures = [pool.submit(fetch, b) for b in batches[: self.prefetch]]
-                next_submit = self.prefetch
-                for i in range(len(batches)):
-                    if stop.is_set():
-                        return
-                    q.put(futures[i].result())
-                    if next_submit < len(batches):
-                        futures.append(pool.submit(fetch, batches[next_submit]))
-                        next_submit += 1
-                q.put(None)
+                try:
+                    futures = [
+                        pool.submit(fetch, b) for b in batches[: self.prefetch]
+                    ]
+                    next_submit = self.prefetch
+                    for i in range(len(batches)):
+                        if stop.is_set():
+                            return
+                        q.put(futures[i].result())
+                        if stop.is_set():
+                            return
+                        if next_submit < len(batches):
+                            futures.append(
+                                pool.submit(fetch, batches[next_submit]))
+                            next_submit += 1
+                    q.put(None)
+                except RuntimeError:
+                    # pool shut down mid-submit: the consumer abandoned the
+                    # epoch (e.g. fit() hit max_steps on an infinite loader)
+                    if not stop.is_set():
+                        raise
+                except BaseException as e:  # deliver fetch errors in-stream
+                    q.put(e)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
@@ -152,9 +165,17 @@ class ShardedLoader:
                     item = q.get()
                     if item is None:
                         break
+                    if isinstance(item, BaseException):
+                        raise item
                     yield item
             finally:
                 stop.set()
+                # unblock a producer stuck in q.put so it can observe stop
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
 
     def __iter__(self):
         epoch = self.epoch
@@ -206,8 +227,11 @@ class IterableLoader:
                     if stop.is_set():
                         return
                     q.put(b)
-            finally:
+                    if stop.is_set():
+                        return
                 q.put(None)
+            except BaseException as e:  # deliver stream errors in-stream
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -216,9 +240,17 @@ class IterableLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck in q.put so it can observe stop
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def make_loader(dataset, batch_size: int, **kwargs):

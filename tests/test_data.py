@@ -3,6 +3,7 @@
 import json
 import os
 import tarfile
+import time
 
 import numpy as np
 import pytest
@@ -162,6 +163,66 @@ class TestLoader:
         l2 = ShardedLoader(ds, 2, seed=1, process_index=0, process_count=1)
         np.testing.assert_array_equal(l1._shard_indices(3), l2._shard_indices(3))
         assert not np.array_equal(l1._shard_indices(0), l1._shard_indices(1))
+
+    def test_abandoned_epoch_no_thread_errors(self, img_root):
+        # fit() breaking out of an infinite loader abandons the epoch
+        # mid-stream; the prefetch producer must shut down cleanly instead of
+        # racing pool shutdown (loader.py producer / RuntimeError-on-submit)
+        import threading
+
+        ds = PixImageNet(img_root, resolution=16)
+        thread_errors = []
+        orig_hook = threading.excepthook
+        threading.excepthook = lambda args: thread_errors.append(args)
+        try:
+            for _ in range(3):  # repeat: the race is timing-dependent
+                loader = ShardedLoader(ds, 1, num_workers=2, infinite=True,
+                                       prefetch=2)
+                for i, batch in enumerate(loader):
+                    if i == 1:
+                        break
+                del loader
+                import gc
+
+                gc.collect()  # close the generator -> pool shutdown
+                time.sleep(0.1)
+        finally:
+            threading.excepthook = orig_hook
+        assert not thread_errors, thread_errors
+
+    def test_fetch_error_propagates_to_consumer(self):
+        # a raising __getitem__ must surface in the training loop, not hang
+        # the consumer or silently truncate the stream
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i >= 4:
+                    raise ValueError("corrupt shard")
+                return np.zeros((2, 2, 3), np.float32), 0, {}
+
+        loader = ShardedLoader(Bad(), 2, shuffle=False, num_workers=2)
+        with pytest.raises(ValueError, match="corrupt shard"):
+            for _ in loader:
+                pass
+
+    def test_iterable_error_propagates_to_consumer(self):
+        def gen():
+            yield np.zeros((2, 2, 3), np.float32), 0, {}
+            yield np.zeros((2, 2, 3), np.float32), 0, {}
+            raise ValueError("stream died")
+
+        class BadStream:
+            def __iter__(self):
+                return gen()
+
+        from deco_tpu.data.loader import IterableLoader
+
+        loader = IterableLoader(BadStream(), 2, drop_last=False)
+        with pytest.raises(ValueError, match="stream died"):
+            for _ in loader:
+                pass
 
     def test_collate_string_conditions(self):
         samples = [
