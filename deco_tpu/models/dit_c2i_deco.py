@@ -34,13 +34,14 @@ class _DiTScanCell(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     align_layer: int = 0  # 1-based; 0 disables the tap
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, carry, c, rope, mask):
         x, feat, idx = carry
         x = layers.FlattenDiTBlock(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-            name="block",
+            name="block", quantize=self.quantize,
         )(x, c, rope, mask)
         if self.align_layer:
             feat = jnp.where(idx == self.align_layer - 1, x, feat)
@@ -50,7 +51,7 @@ class _DiTScanCell(nn.Module):
 def run_dit_blocks(
     x, c, rope, mask, *, num_blocks, num_heads, mlp_ratio=4.0,
     dtype=jnp.bfloat16, grad_checkpoint=False, align_layer=0, name="blocks",
-    remat_policy="full",
+    remat_policy="full", quantize=False,
 ):
     """Run a stack of FlattenDiTBlocks under nn.scan; returns (x, tapped_feat).
 
@@ -87,14 +88,17 @@ def run_dit_blocks(
             cell = nn.remat(cell, prevent_cse=False)
     scanned = nn.scan(
         cell,
-        variable_axes={"params": 0},
+        # "quant" holds the cached int8 trunk weights (models/layers.Int8Dense
+        # / SwiGLU under quantize=True); stacked along the block axis like
+        # params. A no-op when the collection is absent (exact bf16 path).
+        variable_axes={"params": 0, "quant": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
         length=num_blocks,
         metadata_params={nn.meta.PARTITION_NAME: None},
     )(
         num_heads=num_heads, mlp_ratio=mlp_ratio, dtype=dtype,
-        align_layer=align_layer, name=name,
+        align_layer=align_layer, name=name, quantize=quantize,
     )
     feat0 = jnp.zeros_like(x)
     (x, feat, _), _ = scanned((x, feat0, jnp.int32(0)), c, rope, mask)
@@ -143,6 +147,13 @@ class DeCoC2I(nn.Module):
     # Init always builds params via the sequential path, so checkpoints are
     # layout-identical across modes.
     trunk_parallel: str = "none"
+    # Opt-in W8A8 int8 trunk GEMMs for sampling/serving (ops/quant.py):
+    # None/"" = exact bf16 (default; golden-parity path), "int8" = quantized.
+    # DECO_QUANT=int8 forces it on globally. Attention math, adaLN, the
+    # embedders and the per-pixel decoder stay bf16; checkpoints are
+    # layout-identical across modes. Inference-only — incompatible with
+    # training gradients.
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x, t, y, s=None, mask=None, return_s: bool = False,
@@ -151,6 +162,13 @@ class DeCoC2I(nn.Module):
         b, h, w, _ = x.shape
         p = self.patch_size
         gh, gw = h // p, w // p
+        from deco_tpu.ops.quant import env_quant_mode
+
+        quant = (self.quantize or env_quant_mode()) == "int8"
+        if self.quantize not in (None, "", "int8"):
+            raise ValueError(
+                f"quantize={self.quantize!r}: expected None or 'int8'"
+            )
         rope = layers.precompute_rope_2d(
             self.hidden_size // self.num_groups, gh, gw, scale=self.rope_scale
         )
@@ -215,6 +233,7 @@ class DeCoC2I(nn.Module):
                     align_layer=self.align_layer if return_features else 0,
                     name="blocks",
                     remat_policy=self.trunk_remat_policy,
+                    quantize=quant,
                 )
             s = nn.silu(t_emb + s)
 

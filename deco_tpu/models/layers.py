@@ -16,6 +16,7 @@ Functional parity with the reference layer set (hhhhzp/DeCo
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable
 
 import jax
@@ -24,7 +25,76 @@ import numpy as np
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
+from deco_tpu.ops import quant as quant_ops
+
 Dtype = Any
+
+# nn.Dense's default kernel init — reused by the fused/quantized Dense
+# variants below so init-from-seed and checkpoint layout are identical
+# whichever path a module takes.
+_DENSE_KERNEL_INIT = nn.initializers.lecun_normal()
+
+
+class ParamKernel(nn.Module):
+    """A bare ``kernel`` parameter living at the same path as nn.Dense's.
+
+    Lets a parent module own several Dense-shaped kernels (``w1/kernel``,
+    ``w3/kernel``, ...) while computing a fused matmul over their
+    concatenation — the checkpoint tree is indistinguishable from separate
+    nn.Dense submodules.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        return self.param(
+            "kernel", _DENSE_KERNEL_INIT, (in_dim, self.features), jnp.float32
+        )
+
+
+class Int8Dense(nn.Module):
+    """Drop-in nn.Dense running the W8A8 int8 MXU path (ops/quant.py).
+
+    Identical parameter tree (``kernel`` / optional ``bias``, fp32) so a
+    checkpoint trained on the exact path loads unchanged; only the matmul
+    numerics differ (symmetric per-token activation / per-channel weight
+    scales, int32 accumulation). Inference-only.
+
+    Weight quantization is cached in the ``quant`` variable collection:
+    ``model.apply(vars, ..., mutable="quant")`` once populates it (one pass
+    over the params), then passing the collection to subsequent applies makes
+    every step reuse the int8 kernels — quantizing inside a 50-step sampler
+    scan would re-read all trunk weights every step (measured: erases the MXU
+    win). Without the collection the weight is quantized on the fly.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", _DENSE_KERNEL_INIT, (x.shape[-1], self.features), jnp.float32
+        )
+        wq, ws = _cached_weight_quant(self, "kernel_q", kernel)
+        y = quant_ops.int8_matmul_prequant(x, wq, ws).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _cached_weight_quant(mod: nn.Module, name: str, kernel):
+    """(int8, scale) for ``kernel``, cached in the ``quant`` collection."""
+    if mod.is_mutable_collection("quant") or mod.has_variable("quant", name):
+        return mod.variable(
+            "quant", name, lambda: quant_ops.quantize_weight(kernel)
+        ).value
+    return quant_ops.quantize_weight(kernel)
 
 
 def modulate(x, shift, scale):
@@ -62,6 +132,7 @@ class SwiGLU(nn.Module):
     hidden_dim: int
     exact_hidden: bool = False
     dtype: Dtype = jnp.bfloat16
+    quantize: bool = False  # W8A8 int8 trunk mode (ops/quant.py); implies fused
 
     @nn.compact
     def __call__(self, x):
@@ -69,10 +140,36 @@ class SwiGLU(nn.Module):
         hidden = self.hidden_dim if self.exact_hidden else int(
             2 * self.hidden_dim / 3
         )
-        w1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w1")
-        w3 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w3")
-        w2 = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="w2")
-        return w2(nn.silu(w1(x)) * w3(x))
+        # Fused w13: one (dim -> 2*hidden) GEMM over concat(w1, w3) kernels.
+        # Wider outputs run the MXU markedly better at trunk shapes (measured
+        # on v5e: 1152x3456 GEMM ~71-103 TFLOP/s vs 2048x8192 ~135); the
+        # concat of loop-invariant kernels is hoisted out of sampler scans.
+        # Same math (each output column's reduction is unchanged), but not
+        # guaranteed bit-identical tiling — so opt-in via DECO_SWIGLU_FUSED=1,
+        # and always on under int8 (one activation quantization feeds both).
+        fused = self.quantize or os.environ.get("DECO_SWIGLU_FUSED") == "1"
+        if not fused:
+            w1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w1")
+            w3 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="w3")
+            w2 = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="w2")
+            return w2(nn.silu(w1(x)) * w3(x))
+        w1k = ParamKernel(hidden, name="w1")(dim)
+        w3k = ParamKernel(hidden, name="w3")(dim)
+        w2k = ParamKernel(dim, name="w2")(hidden)
+        w13 = jnp.concatenate([w1k, w3k], axis=1)
+        if self.quantize:
+            wq, ws = _cached_weight_quant(self, "w13_q", w13)
+            h = quant_ops.int8_matmul_prequant(x, wq, ws).astype(self.dtype)
+            h1, h3 = h[..., :hidden], h[..., hidden:]
+            w2q, w2s = _cached_weight_quant(self, "w2_q", w2k)
+            return quant_ops.int8_matmul_prequant(
+                nn.silu(h1) * h3, w2q, w2s
+            ).astype(self.dtype)
+        h = jnp.dot(x.astype(self.dtype), w13.astype(self.dtype))
+        h1, h3 = h[..., :hidden], h[..., hidden:]
+        return jnp.dot(
+            (nn.silu(h1) * h3).astype(self.dtype), w2k.astype(self.dtype)
+        )
 
 
 class TimestepEmbedder(nn.Module):
@@ -343,12 +440,14 @@ class RAttention(nn.Module):
     qkv_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "auto"  # forwarded to sdpa ("ring" = context parallel)
+    quantize: bool = False  # int8 qkv/proj GEMMs (attention math stays bf16)
 
     @nn.compact
     def __call__(self, x, rope, mask=None):
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        dense = Int8Dense if self.quantize else nn.Dense
+        qkv = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = RMSNorm(name="q_norm")(q)
@@ -356,7 +455,7 @@ class RAttention(nn.Module):
         q, k = apply_rope(q, k, rope)
         out = sdpa(q, k, v, mask=mask, dtype=self.dtype, impl=self.attn_impl)
         out = out.reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class JointAttention(nn.Module):
@@ -377,12 +476,14 @@ class JointAttention(nn.Module):
     qkv_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    quantize: bool = False  # int8 qkv/kv/proj GEMMs
 
     @nn.compact
     def __call__(self, x, y, rope):
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        qkv_x = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_x")(x)
+        dense = Int8Dense if self.quantize else nn.Dense
+        qkv_x = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_x")(x)
         qkv_x = qkv_x.reshape(b, n, 3, self.num_heads, head_dim)
         q, kx, vx = qkv_x[:, :, 0], qkv_x[:, :, 1], qkv_x[:, :, 2]
         q_norm = RMSNorm(name="q_norm")
@@ -392,7 +493,7 @@ class JointAttention(nn.Module):
         q, kx = apply_rope(q, kx, rope)
 
         m = y.shape[1]
-        kv_y = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv_y")(y)
+        kv_y = dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv_y")(y)
         kv_y = kv_y.reshape(b, m, 2, self.num_heads, head_dim)
         ky, vy = kv_y[:, :, 0], kv_y[:, :, 1]
         ky = k_norm(ky)
@@ -400,7 +501,7 @@ class JointAttention(nn.Module):
         out = sdpa(q, kx, vx, dtype=self.dtype, impl=self.attn_impl,
                    extra_kv=(ky, vy))
         out = out.reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class FlattenDiTBlock(nn.Module):
@@ -410,6 +511,7 @@ class FlattenDiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "auto"  # "ring" = sequence-parallel (parallel/sp_trunk)
+    quantize: bool = False  # int8 attention/MLP GEMMs (adaLN stays bf16)
 
     @nn.compact
     def __call__(self, x, c, rope, mask=None):
@@ -423,11 +525,12 @@ class FlattenDiTBlock(nn.Module):
         h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
         x = x + gate_msa * RAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, quantize=self.quantize,
         )(h, rope, mask)
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(
-            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp"
+            hidden_dim=int(hidden * self.mlp_ratio), dtype=self.dtype, name="mlp",
+            quantize=self.quantize,
         )(h)
         return x
 
@@ -439,6 +542,7 @@ class JointDiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "auto"  # "ring" = sequence-parallel (sp_trunk joint)
+    quantize: bool = False  # int8 attention/MLP GEMMs (adaLN stays bf16)
 
     @nn.compact
     def __call__(self, x, y, c, rope):
@@ -450,12 +554,12 @@ class JointDiTBlock(nn.Module):
         h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
         x = x + gate_msa * JointAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, quantize=self.quantize,
         )(h, y, rope)
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(
             hidden_dim=int(hidden * self.mlp_ratio), exact_hidden=True,
-            dtype=self.dtype, name="mlp"
+            dtype=self.dtype, name="mlp", quantize=self.quantize,
         )(h)
         return x
 
