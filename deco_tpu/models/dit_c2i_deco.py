@@ -169,6 +169,13 @@ class DeCoC2I(nn.Module):
             raise ValueError(
                 f"quantize={self.quantize!r}: expected None or 'int8'"
             )
+        if quant and self.trunk_parallel != "none":
+            # the sp/tp executors consume the stacked params directly and
+            # would silently drop the int8 path — fail loudly instead
+            raise ValueError(
+                "quantize='int8' is not available under trunk_parallel "
+                "executors; use the sequential trunk for int8 serving"
+            )
         rope = layers.precompute_rope_2d(
             self.hidden_size // self.num_groups, gh, gw, scale=self.rope_scale
         )

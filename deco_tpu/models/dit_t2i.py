@@ -75,13 +75,14 @@ class _JointScanCell(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     align_layer: int = 0
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, carry, y, c, rope):
         x, feat, idx = carry
         x = layers.JointDiTBlock(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-            name="block",
+            name="block", quantize=self.quantize,
         )(x, y, c, rope)
         if self.align_layer:
             feat = jnp.where(idx == self.align_layer - 1, x, feat)
@@ -92,12 +93,13 @@ class _TextScanCell(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, carry, c):
         y = layers.TextRefineBlock(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-            name="block",
+            name="block", quantize=self.quantize,
         )(carry, c)
         return y, None
 
@@ -123,9 +125,27 @@ class _T2ITrunk(nn.Module):
     # c2i knob (dit_c2i_deco.DeCoC2I.trunk_parallel): init always builds the
     # sequential layout; the executor resolves the ambient jax.set_mesh mesh.
     trunk_parallel: str = "none"
+    # W8A8 int8 trunk GEMMs (same contract as DeCoC2I.quantize): None/"" =
+    # exact bf16, "int8" = quantized text-refine + joint blocks. Inference
+    # only; DECO_QUANT=int8 forces it globally.
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x_patches, t, y, gh, gw, return_features=False):
+        from deco_tpu.ops.quant import env_quant_mode
+
+        if self.quantize not in (None, "", "int8"):
+            raise ValueError(
+                f"quantize={self.quantize!r}: expected None or 'int8'"
+            )
+        quant = (self.quantize or env_quant_mode()) == "int8"
+        if quant and self.trunk_parallel != "none":
+            # the sp/tp executors consume the stacked params directly and
+            # would silently drop the int8 path — fail loudly instead
+            raise ValueError(
+                "quantize='int8' is not available under trunk_parallel "
+                "executors; use the sequential trunk for int8 serving"
+            )
         b = x_patches.shape[0]
         rope = layers.precompute_rope_2d(
             self.hidden_size // self.num_groups, gh, gw,
@@ -154,12 +174,15 @@ class _T2ITrunk(nn.Module):
 
         y_emb, _ = nn.scan(
             text_cell,
-            variable_axes={"params": 0},
+            # "quant": cached int8 weights (layers.Int8Dense), stacked like
+            # params; a no-op when absent (exact bf16 path)
+            variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast,),
             length=self.num_text_blocks,
             metadata_params={nn.meta.PARTITION_NAME: None},
-        )(num_heads=self.num_groups, dtype=self.dtype, name="text_refine_blocks")(
+        )(num_heads=self.num_groups, dtype=self.dtype,
+          name="text_refine_blocks", quantize=quant)(
             y_emb, condition
         )
 
@@ -201,7 +224,7 @@ class _T2ITrunk(nn.Module):
         else:
             scanned = nn.scan(
                 joint_cell,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.num_encoder_blocks,
@@ -209,7 +232,7 @@ class _T2ITrunk(nn.Module):
             )(
                 num_heads=self.num_groups, dtype=self.dtype,
                 align_layer=self.align_layer if return_features else 0,
-                name="blocks",
+                name="blocks", quantize=quant,
             )
             (s, feat, _), _ = scanned(
                 (s, jnp.zeros_like(s), jnp.int32(0)), y_emb, condition, rope
@@ -238,6 +261,9 @@ class PixNerdT2I(nn.Module):
     align_layer: int = 0
     patch_scaling_hw: Tuple[float, float] = (1.0, 1.0)
     trunk_parallel: str = "none"  # "sp" | "tp" joint-trunk executors
+    # W8A8 int8 trunk serving mode (ops/quant.py; same contract as
+    # DeCoC2I.quantize): inference-only, checkpoints layout-identical
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x, t, y, return_features: bool = False):
@@ -254,7 +280,8 @@ class PixNerdT2I(nn.Module):
             dtype=self.dtype, grad_checkpoint=self.grad_checkpoint,
             align_layer=self.align_layer,
             patch_scaling_hw=self.patch_scaling_hw,
-            trunk_parallel=self.trunk_parallel, name="trunk",
+            trunk_parallel=self.trunk_parallel, quantize=self.quantize,
+            name="trunk",
         )(x_patches, t, y, gh, gw, return_features)
 
         x_pix = x_patches.reshape(b, gh * gw, p * p, self.in_channels)
@@ -311,6 +338,9 @@ class DeCoT2I(nn.Module):
     # SimpleMLPAdaLN at P=16, so the peak is 4x the c2i-at-256px one per
     # token). Chunked and unchunked share parameter paths.
     decoder_chunks: int = 0
+    # W8A8 int8 trunk serving mode (ops/quant.py; same contract as
+    # DeCoC2I.quantize): inference-only, checkpoints layout-identical
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x, t, y, return_features: bool = False):
@@ -327,7 +357,8 @@ class DeCoT2I(nn.Module):
             dtype=self.dtype, grad_checkpoint=self.grad_checkpoint,
             align_layer=self.align_layer,
             patch_scaling_hw=self.patch_scaling_hw,
-            trunk_parallel=self.trunk_parallel, name="trunk",
+            trunk_parallel=self.trunk_parallel, quantize=self.quantize,
+            name="trunk",
         )(x_patches, t, y, gh, gw, return_features)
 
         x_pix = x_patches.reshape(b, gh * gw, p * p, self.in_channels)

@@ -570,28 +570,30 @@ class TextRefineBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    quantize: bool = False  # int8 attention/MLP GEMMs (adaLN stays bf16)
 
     @nn.compact
     def __call__(self, x, c):
         b, n, hidden = x.shape
         head_dim = hidden // self.num_heads
+        dense = Int8Dense if self.quantize else nn.Dense
         mod = nn.Dense(6 * hidden, dtype=self.dtype, name="adaLN_modulation")(c)
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
             mod, 6, axis=-1
         )
         h = modulate(RMSNorm(name="norm1")(x), shift_msa, scale_msa)
-        qkv = nn.Dense(3 * hidden, use_bias=False, dtype=self.dtype, name="attn_qkv")(h)
+        qkv = dense(3 * hidden, use_bias=False, dtype=self.dtype, name="attn_qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = RMSNorm(name="attn_q_norm")(q)
         k = RMSNorm(name="attn_k_norm")(k)
         attn_out = sdpa(q, k, v, dtype=self.dtype).reshape(b, n, hidden)
-        attn_out = nn.Dense(hidden, dtype=self.dtype, name="attn_proj")(attn_out)
+        attn_out = dense(hidden, dtype=self.dtype, name="attn_proj")(attn_out)
         x = x + gate_msa * attn_out
         h = modulate(RMSNorm(name="norm2")(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * SwiGLU(
             hidden_dim=int(hidden * self.mlp_ratio), exact_hidden=True,
-            dtype=self.dtype, name="mlp"
+            dtype=self.dtype, name="mlp", quantize=self.quantize,
         )(h)
         return x
 

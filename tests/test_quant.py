@@ -108,6 +108,43 @@ class TestQuantizedTrunk:
         with pytest.raises(ValueError, match="quantize"):
             DeCoC2I(**TINY, quantize="fp4").init(jax.random.PRNGKey(0), x, t, y)
 
+    @pytest.mark.parametrize("cls_name", ["DeCoT2I", "PixNerdT2I"])
+    def test_t2i_family(self, cls_name):
+        from deco_tpu.models import dit_t2i
+
+        cls = getattr(dit_t2i, cls_name)
+        kw = dict(in_channels=3, patch_size=4, num_groups=4, hidden_size=64,
+                  decoder_hidden_size=16, num_encoder_blocks=3,
+                  num_decoder_blocks=2, num_text_blocks=2, txt_embed_dim=32,
+                  txt_max_length=8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        t = jnp.array([0.3, 0.7])
+        y = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 32))
+        m = cls(**kw)
+        m8 = cls(**kw, quantize="int8")
+        v = m8.init(jax.random.PRNGKey(0), x, t, y)
+        assert "quant" in v
+        assert jax.tree.structure(
+            m.init(jax.random.PRNGKey(0), x, t, y)["params"]
+        ) == jax.tree.structure(v["params"])
+        params = _randomized(v["params"], jax.random.PRNGKey(2))
+        out_exact = m.apply({"params": params}, x, t, y)
+        out_fly = m8.apply({"params": params}, x, t, y)
+        _, qvars = m8.apply({"params": params}, x, t, y, mutable="quant")
+        out_cached = m8.apply({"params": params, "quant": qvars["quant"]}, x, t, y)
+        np.testing.assert_array_equal(np.asarray(out_cached), np.asarray(out_fly))
+        rel = float(jnp.max(jnp.abs(out_cached - out_exact))) / float(
+            jnp.max(jnp.abs(out_exact))
+        )
+        assert 0 < rel < 0.5
+
+    def test_int8_under_trunk_parallel_raises(self):
+        x, t, y = _inputs()
+        m = DeCoC2I(**TINY, quantize="int8", trunk_parallel="tp")
+        v_seq = DeCoC2I(**TINY, quantize="int8").init(jax.random.PRNGKey(0), x, t, y)
+        with pytest.raises(ValueError, match="trunk_parallel"):
+            m.apply({"params": v_seq["params"]}, x, t, y)
+
     def test_fused_swiglu_matches_unfused(self, monkeypatch):
         x, t, y = _inputs()
         m = DeCoC2I(**TINY)
