@@ -92,6 +92,25 @@ class ShardedLoader:
         self.rank = process_index if process_index is not None else jax.process_index()
         self.world = process_count if process_count is not None else jax.process_count()
         self.epoch = 0
+        self._start_offset = 0  # first-epoch batch offset (set_position)
+
+    def set_position(self, global_batch: int) -> None:
+        """Fast-forward to the ``global_batch``-th batch of the stream.
+
+        Because the per-epoch shuffle is a pure function of (seed, epoch),
+        a (epoch, within-epoch offset) pair fully determines the stream;
+        skipping costs index arithmetic only — no samples are fetched. A fit
+        resumed from a step-S checkpoint calls ``set_position(S)`` so the
+        data order continues exactly where the interrupted run stopped
+        (one loader batch per train step), instead of re-serving the head
+        of the dataset. The reference has no data-order resume at all
+        (Lightning restarts the DistributedSampler at epoch granularity).
+        """
+        if global_batch < 0:
+            raise ValueError(f"global_batch must be >= 0, got {global_batch}")
+        per_epoch = len(self)
+        self.epoch = global_batch // per_epoch
+        self._start_offset = global_batch % per_epoch
 
     def _shard_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -113,7 +132,7 @@ class ShardedLoader:
             return per // self.batch_size
         return -(-per // self.batch_size)
 
-    def _epoch_batches(self, epoch: int) -> Iterator:
+    def _epoch_batches(self, epoch: int, skip: int = 0) -> Iterator:
         from concurrent.futures import ThreadPoolExecutor
 
         idx = self._shard_indices(epoch)
@@ -122,7 +141,7 @@ class ShardedLoader:
         )
         batches = [
             idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
-        ]
+        ][skip:]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = threading.Event()
@@ -179,8 +198,10 @@ class ShardedLoader:
 
     def __iter__(self):
         epoch = self.epoch
+        skip, self._start_offset = self._start_offset, 0
         while True:
-            yield from self._epoch_batches(epoch)
+            yield from self._epoch_batches(epoch, skip=skip)
+            skip = 0
             epoch += 1
             if not self.infinite:
                 break

@@ -88,13 +88,112 @@ class Int8Dense(nn.Module):
         return y
 
 
+def _kernel_fingerprint(kernel):
+    """Cheap source-weight fingerprint: (sum, l1, sum-of-squares) over the
+    kernel's last two axes.
+
+    Stored alongside the cached int8 weights so verify_quant_cache can detect
+    a cache that was populated from DIFFERENT params than the ones now in use
+    (e.g. random-init cache carried past a checkpoint restore — serving that
+    silently produces garbage). Reduces the last two axes so it works both on
+    a module-level (K, N) kernel and on the (L, K, N) nn.scan-stacked layout.
+    Sensitivity: any O(1)-dim statistic shifts only ~|Δw|·√N under a tiny
+    param delta, so a cache a step or two stale can pass — harmless (the
+    int8 rounding error dominates); genuinely different weight sets (the
+    advisor's restore scenario) shift all three components at O(1) relative.
+    """
+    kf = kernel.astype(jnp.float32)
+    return jnp.stack(
+        [jnp.sum(kf, axis=(-2, -1)),
+         jnp.sum(jnp.abs(kf), axis=(-2, -1)),
+         jnp.sum(kf * kf, axis=(-2, -1))],
+        axis=-1,
+    )
+
+
 def _cached_weight_quant(mod: nn.Module, name: str, kernel):
-    """(int8, scale) for ``kernel``, cached in the ``quant`` collection."""
+    """(int8, scale) for ``kernel``, cached in the ``quant`` collection.
+
+    The cached value is (int8 weights, scales, source fingerprint); the
+    fingerprint never enters the matmul — it exists so load paths can verify
+    the cache matches the live params (see verify_quant_cache). The cache is
+    only trustworthy when populated from the params being applied: every
+    param-load path must re-run one ``mutable='quant'`` apply
+    (ops/quant.refresh_quant_cache) before serving from the cache.
+    """
     if mod.is_mutable_collection("quant") or mod.has_variable("quant", name):
-        return mod.variable(
-            "quant", name, lambda: quant_ops.quantize_weight(kernel)
+        q, s, _fp = mod.variable(
+            "quant", name,
+            lambda: (*quant_ops.quantize_weight(kernel),
+                     _kernel_fingerprint(kernel)),
         ).value
+        return q, s
     return quant_ops.quantize_weight(kernel)
+
+
+class StaleQuantCacheError(ValueError):
+    """The int8 weight cache was built from different params than supplied."""
+
+
+def verify_quant_cache(variables, *, rtol: float = 1e-5) -> None:
+    """Raise StaleQuantCacheError if ``variables['quant']`` does not match
+    ``variables['params']``.
+
+    Walks the quant collection (which mirrors the module tree) and compares
+    each cached fingerprint against one recomputed from the live kernels.
+    Cheap (one pass over the weights, outside any jit) — run it once at
+    pipeline construction; per-dispatch checking would re-read all trunk
+    weights every sampler step, which is exactly what the cache avoids.
+    """
+    import numpy as np
+
+    quant = variables.get("quant") if hasattr(variables, "get") else None
+    if quant is None:
+        return
+    params = variables["params"]
+    bad: list = []
+
+    def fp_of(p, leaf_name):
+        if leaf_name == "kernel_q":
+            return _kernel_fingerprint(p["kernel"])
+        if leaf_name == "w2_q":
+            return _kernel_fingerprint(p["w2"]["kernel"])
+        if leaf_name == "w13_q":
+            # cached from concat(w1, w3) along the output axis: both the sum
+            # and the l1 of the concat are the elementwise sums of the parts
+            return (_kernel_fingerprint(p["w1"]["kernel"])
+                    + _kernel_fingerprint(p["w3"]["kernel"]))
+        return None
+
+    def walk(q, p, path):
+        for k, v in q.items():
+            if hasattr(v, "items"):  # submodule dict
+                walk(v, p[k], path + (k,))
+                continue
+            if not (isinstance(v, (tuple, list)) and len(v) == 3):
+                bad.append(("/".join(path + (k,)), "no fingerprint "
+                            "(cache predates verification — refresh it)"))
+                continue
+            live = fp_of(p, k)
+            if live is None:
+                bad.append(("/".join(path + (k,)), "unknown cache entry"))
+                continue
+            cached = np.asarray(v[2], np.float64)
+            livef = np.asarray(live, np.float64)
+            scale = np.maximum(np.abs(livef), 1.0)
+            if not np.all(np.abs(cached - livef) <= rtol * scale):
+                bad.append(("/".join(path + (k,)), "fingerprint mismatch"))
+
+    walk(quant, params, ())
+    if bad:
+        detail = "; ".join(f"{p}: {why}" for p, why in bad[:8])
+        raise StaleQuantCacheError(
+            f"int8 quant cache does not match the supplied params "
+            f"({len(bad)} entries — {detail}). The cache was populated from "
+            "different weights (e.g. random init before a checkpoint "
+            "restore); serving it produces garbage. Rebuild it from the "
+            "loaded params with ops/quant.refresh_quant_cache."
+        )
 
 
 def modulate(x, shift, scale):

@@ -31,9 +31,49 @@ _EPS = 1e-8
 
 
 def env_quant_mode() -> str | None:
-    """Global override: DECO_QUANT=int8 forces trunk quantization on."""
+    """Global override: DECO_QUANT=int8 forces trunk quantization on.
+
+    Unrecognized values raise (matching the ``quantize=`` constructor-arg
+    validation): an operator who sets ``DECO_QUANT=int4`` or typos ``INT8``
+    must not silently run the exact bf16 path believing it is quantized.
+    """
     mode = os.environ.get("DECO_QUANT")
-    return mode if mode in ("int8",) else None
+    if mode in (None, ""):
+        return None
+    if mode != "int8":
+        raise ValueError(
+            f"DECO_QUANT={mode!r}: the only supported mode is 'int8' "
+            "(unset it or leave it empty for the exact bf16 path)"
+        )
+    return mode
+
+
+def model_quant_active(model) -> bool:
+    """Whether ``model`` resolves to the int8 trunk (field or env override)."""
+    return (getattr(model, "quantize", None) or env_quant_mode()) == "int8"
+
+
+def refresh_quant_cache(model, variables, *apply_args, **apply_kwargs):
+    """(Re)build the int8 weight cache from ``variables['params']``.
+
+    Runs one ``mutable='quant'`` apply so the cached int8 kernels are
+    quantized from the CURRENT params — call this after ANY checkpoint /
+    converted-weight load. A cache populated at ``model.init`` time and then
+    carried alongside *restored* params serves garbage (measured 1.37 max
+    relative error on the trunk output): the forward reads only the cache,
+    so it must always be derived from the weights actually in use.
+    ``apply_args`` only need to be shape-valid (a batch-1 example is fine;
+    the cache depends on params alone, not on the inputs).
+    """
+    params = variables["params"] if "params" in variables else variables
+    _, qvars = model.apply(
+        {"params": params}, *apply_args, mutable="quant", **apply_kwargs
+    )
+    if "quant" not in qvars:
+        # model has no quantized modules (e.g. a global DECO_QUANT=int8 with
+        # a family that doesn't support it) — nothing to cache
+        return {"params": params}
+    return {"params": params, "quant": qvars["quant"]}
 
 
 def quantize_rowwise(x: jax.Array):

@@ -38,6 +38,14 @@ class Pipeline:
         self.denoiser = denoiser
         self.conditioner = conditioner
         self.params = params
+        if hasattr(params, "get") and params.get("quant") is not None:
+            # int8 serving safety net: a quant cache populated from params
+            # other than the ones supplied here (e.g. random init carried
+            # past a checkpoint restore) silently serves garbage — verify
+            # the stored fingerprints once, at construction.
+            from deco_tpu.models.layers import verify_quant_cache
+
+            verify_quant_cache(params)
         self.scheduler = scheduler or LinearScheduler()
         self.base_resolution = base_resolution
         self._jit_cache = {}
@@ -147,6 +155,18 @@ def load_pipeline(config_path: str, ckpt_path: Optional[str] = None,
     denoiser = registry.instantiate(model_cfg["denoiser"])
     conditioner = registry.instantiate(model_cfg["conditioner"])
 
+    from deco_tpu.ops.quant import model_quant_active, refresh_quant_cache
+
+    warmup_inputs = None  # built lazily: (x, t, cond[:1])
+
+    def _warmup():
+        nonlocal warmup_inputs
+        if warmup_inputs is None:
+            x = jnp.zeros((1, 512, 512, 3))
+            cond, _ = conditioner(["warmup"])
+            warmup_inputs = (x, jnp.zeros((1,)), cond[:1])
+        return warmup_inputs
+
     if ckpt_path and os.path.isdir(ckpt_path):
         # orbax checkpoint dir
         import optax
@@ -154,12 +174,14 @@ def load_pipeline(config_path: str, ckpt_path: Optional[str] = None,
         from deco_tpu.train.checkpoint import CheckpointManager
         from deco_tpu.train.state import TrainState
 
-        x = jnp.zeros((1, 512, 512, 3))
-        cond, _ = conditioner(["warmup"])
-        params = denoiser.init(
-            jax.random.PRNGKey(0), x, jnp.zeros((1,)), cond[:1]
-        )
-        state = TrainState.create(params, optax.adamw(1e-4))
+        x, t, cond1 = _warmup()
+        variables = denoiser.init(jax.random.PRNGKey(0), x, t, cond1)
+        # restore over the 'params' collection ONLY: checkpoints (trained on
+        # the exact bf16 path) have no 'quant' subtree, and a quant cache
+        # populated at random init must never survive a restore — it would
+        # silently serve garbage (see models/layers.verify_quant_cache)
+        state = TrainState.create({"params": variables["params"]},
+                                  optax.adamw(1e-4))
         state = CheckpointManager(ckpt_path, 0).restore(state)
         params = state.ema_params if use_ema else state.params
     elif ckpt_path:
@@ -170,11 +192,14 @@ def load_pipeline(config_path: str, ckpt_path: Optional[str] = None,
             ckpt_path, model_kind="deco_t2i", use_ema=use_ema
         )}
     else:
-        x = jnp.zeros((1, 512, 512, 3))
-        cond, _ = conditioner(["warmup"])
-        params = denoiser.init(
-            jax.random.PRNGKey(0), x, jnp.zeros((1,)), cond[:1]
-        )
+        x, t, cond1 = _warmup()
+        params = {"params": denoiser.init(
+            jax.random.PRNGKey(0), x, t, cond1
+        )["params"]}
+    if model_quant_active(denoiser):
+        # int8 serving: quantize the weight cache from the FINAL params
+        x, t, cond1 = _warmup()
+        params = refresh_quant_cache(denoiser, params, x, t, cond1)
     return Pipeline(vae, denoiser, conditioner, params)
 
 

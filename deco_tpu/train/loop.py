@@ -152,10 +152,28 @@ class Experiment:
             return self.conditioner(np.asarray(bx), bmeta)
         return self.conditioner(by, bmeta)
 
-    def init_state(self, sample_x, sample_cond) -> TrainState:
+    def init_state(self, sample_x, sample_cond, *, training: bool = True
+                   ) -> TrainState:
         t = jnp.zeros((sample_x.shape[0],), jnp.float32)
         rng = jax.random.PRNGKey(self.config.get("seed", 0))
-        params = jax.jit(self.model.init)(rng, sample_x, t, sample_cond)
+        variables = jax.jit(self.model.init)(rng, sample_x, t, sample_cond)
+        extras = sorted(k for k in variables if k != "params")
+        if "quant" in extras and training:
+            # quantize='int8' (or a global DECO_QUANT=int8) in a training
+            # context silently zeroes the trunk gradient: the forward reads
+            # only the cached int8 weights, and round/clip kill the gradient
+            # to the cached copy — the trunk stops learning while embedders
+            # and decoder keep updating. Refuse instead of training garbage.
+            raise ValueError(
+                f"model.init produced non-'params' collections {extras}: "
+                "the int8 trunk (quantize='int8' / DECO_QUANT=int8) is an "
+                "inference-only serving mode — under jax.grad the trunk "
+                "weights receive exactly zero gradient. Unset it for fit."
+            )
+        # non-params collections (the int8 'quant' cache) never enter the
+        # TrainState: optimizer/EMA state must not allocate over a derived
+        # cache, and checkpoints stay layout-identical across modes.
+        params = {"params": variables["params"]}
         trainer_params = self.trainer.init_params(jax.random.fold_in(rng, 1))
         if trainer_params:
             # combined layout: trainer-owned trainable state (REPA proj) rides
@@ -198,6 +216,14 @@ class Experiment:
             state = CheckpointManager(ckpt_path, 0).restore(state)
         elif ckpt.latest_step() is not None:
             state = ckpt.restore(state)
+        resumed_step = int(state.step)
+        if resumed_step and hasattr(loader, "set_position"):
+            # deterministic mid-epoch data resume: one loader batch per train
+            # step, and the seeded per-epoch shuffle makes (epoch, offset) a
+            # pure function of the step — the resumed run consumes exactly
+            # the batches the interrupted run would have (index math only;
+            # no samples fetched for the skipped prefix)
+            loader.set_position(resumed_step)
 
         apply_fn = lambda p, xt, t, y, **kw: self.model.apply(p, xt, t, y, **kw)
         step_fn = make_train_step(
@@ -281,13 +307,25 @@ class Experiment:
         )
         x, cond, uncond = self._example_batch(dataset, batch_size)
         if state is None:
-            state = self.init_state(x, cond)
+            state = self.init_state(x, cond, training=False)
             if ckpt_path:
                 state = CheckpointManager(ckpt_path, 0).restore(state)
         params = state.ema_params if use_ema and state.ema_params is not None \
             else state.params
         if isinstance(params, dict) and "model" in params:
             params = params["model"]
+        from deco_tpu.ops.quant import model_quant_active, refresh_quant_cache
+
+        if model_quant_active(self.model):
+            # int8 serving: build the weight cache from the params ACTUALLY
+            # being served (post-restore, post-EMA-selection). A cache from
+            # any earlier params (e.g. random init) would silently serve
+            # garbage — see models/layers.verify_quant_cache.
+            params = refresh_quant_cache(
+                self.model, params, x[:1],
+                jnp.zeros((1,), jnp.float32),
+                jax.tree.map(lambda a: a[:1], cond),
+            )
 
         sampler = self.sampler
 

@@ -349,3 +349,74 @@ class TestBlip3oSFT:
         ds = LazySupervisedMixDataset(tok, src, image_processor=boom)
         with pytest.raises(RuntimeError):
             ds[0]
+
+
+class TestResumableLoader:
+    """Deterministic mid-epoch data resume (loader.set_position): a fit
+    resumed from a step-S checkpoint must consume exactly the batches an
+    uninterrupted run would have consumed from step S on. The reference has
+    no data-order resume (Lightning restarts the sampler per epoch)."""
+
+    class _IndexDataset:
+        """Yields (index-stamped array, 0, {}) so batch identity is visible."""
+
+        def __init__(self, n=10):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), float(i), np.float32), 0, {}
+
+    def _stream(self, loader, n):
+        out = []
+        for bi, (bx, _, _) in enumerate(loader):
+            if bi >= n:
+                break
+            out.append(np.asarray(bx)[:, 0, 0, 0].tolist())
+        return out
+
+    def test_set_position_continues_stream(self):
+        ds = self._IndexDataset(10)
+        kw = dict(batch_size=2, seed=3, shuffle=True, num_workers=1,
+                  process_index=0, process_count=1, infinite=True)
+        full = self._stream(ShardedLoader(ds, **kw), 13)
+        resumed = ShardedLoader(ds, **kw)
+        resumed.set_position(7)  # mid-epoch-2 (5 batches/epoch)
+        np.testing.assert_array_equal(self._stream(resumed, 6), full[7:13])
+
+    def test_set_position_epoch_boundary_and_zero(self):
+        ds = self._IndexDataset(8)
+        kw = dict(batch_size=2, seed=1, shuffle=True, num_workers=1,
+                  process_index=0, process_count=1, infinite=True)
+        full = self._stream(ShardedLoader(ds, **kw), 8)
+        at_epoch = ShardedLoader(ds, **kw)
+        at_epoch.set_position(4)  # exactly one epoch in
+        np.testing.assert_array_equal(self._stream(at_epoch, 4), full[4:8])
+        zero = ShardedLoader(ds, **kw)
+        zero.set_position(0)
+        np.testing.assert_array_equal(self._stream(zero, 4), full[:4])
+        with pytest.raises(ValueError, match=">= 0"):
+            zero.set_position(-1)
+
+    def test_skip_fetches_no_samples(self):
+        """The skipped prefix must cost index math only (a 50k-step resume
+        cannot afford re-decoding 50k batches of JPEGs)."""
+        fetched = []
+
+        class Tracking(self._IndexDataset):
+            def __getitem__(self, i):
+                fetched.append(i)
+                return super().__getitem__(i)
+
+        ds = Tracking(10)
+        loader = ShardedLoader(ds, batch_size=2, seed=0, shuffle=False,
+                               num_workers=1, process_index=0,
+                               process_count=1, infinite=True)
+        loader.set_position(3)
+        self._stream(loader, 1)
+        # batch 3 (indices 6,7) plus prefetch of batch 4 are fine; the
+        # skipped batches 0-2 (indices 0-5) must never be read
+        assert {6, 7} <= set(fetched)
+        assert set(fetched).isdisjoint(range(6))

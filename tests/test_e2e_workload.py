@@ -252,6 +252,34 @@ class TestEndToEnd:
         # interval 2 -> steps 2,4,6 (+ forced final 3 from run 1)
         assert 4 in ckpt_steps and 6 in ckpt_steps
 
+    def test_resume_continues_data_order(self, config, tmp_path, monkeypatch):
+        """A resumed fit must fast-forward the loader to the restored step
+        (deterministic mid-epoch data resume) instead of re-serving the head
+        of the dataset."""
+        from deco_tpu.data.loader import ShardedLoader
+        from deco_tpu.train.loop import Experiment
+
+        cfg = dict(config)
+        cfg["tags"] = {"exp": "resume_data_order"}
+        cfg["trainer"] = dict(config["trainer"],
+                              default_root_dir=str(tmp_path), max_steps=2)
+        state = Experiment(cfg).fit()
+        assert int(state.step) == 2
+
+        calls = []
+        orig = ShardedLoader.set_position
+
+        def spy(self, n):
+            calls.append(n)
+            return orig(self, n)
+
+        monkeypatch.setattr(ShardedLoader, "set_position", spy)
+        cfg2 = dict(cfg)
+        cfg2["trainer"] = dict(cfg["trainer"], max_steps=4)
+        state2 = Experiment(cfg2, resume=True).fit()
+        assert int(state2.step) == 4
+        assert calls == [2]  # loader fast-forwarded to the restored step
+
     def test_workdir_guard(self, config):
         from deco_tpu.train.loop import Experiment
 
