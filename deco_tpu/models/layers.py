@@ -547,6 +547,13 @@ class RAttention(nn.Module):
         head_dim = c // self.num_heads
         dense = Int8Dense if self.quantize else nn.Dense
         qkv = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        # Layout note: a head-major variant (transpose to (3,B,H,N,D) off the
+        # qkv GEMM so the flash fold is a free reshape) measured NO in-context
+        # win over this token-major layout (4.773 vs 4.768 img/s on the
+        # round-5 headline, scripts/bench_headmajor_ab.py) — XLA already
+        # fuses/overlaps the fold transposes; the kernel's real costs were
+        # the 72->128 HBM pad and one-plane grid granularity, both fixed in
+        # ops/flash_attention (grouped unpadded kernel, +6% end-to-end).
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = RMSNorm(name="q_norm")(q)

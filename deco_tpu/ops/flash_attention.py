@@ -61,39 +61,49 @@ _STREAM_SEMANTICS = pltpu.CompilerParams(
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
-    """One program: one q block (BQ, D) vs the full KV (N, D) stream.
+    """One program: a GROUP of (batch*head) planes, one q block each.
+
+    q_ref/o_ref: (G, BQ, D); k_ref/v_ref: (G, N, D) resident. The static
+    per-plane loop amortizes fixed per-program cost (grid sequencing, DMA
+    issue latency) over G planes — at the DeCo-XL headline shape (N=256,
+    640 (b,h) planes) one-plane programs left the kernel ~3x off its
+    roofline (in-context ablation, scripts/bench_ablate.py). Leading-axis
+    indexing keeps every operand a dense tile-aligned (rows, D) vector —
+    the layout Mosaic lowers without relayouts (slicing a middle axis of a
+    4D block is an unsupported shape cast as of this writing).
 
     Matmuls run at native input precision (bf16 on the MXU at full rate) with
     fp32 accumulation — SDPA semantics; softmax statistics stay fp32.
     """
-    q = q_ref[0]  # (BQ, D), input dtype
-    bq = q.shape[0]
-    d = q.shape[1]
     num_kv = kv_len // block_k
+    for gg in range(q_ref.shape[0]):
+        q = q_ref[gg]  # (BQ, D), input dtype
+        bq, d = q.shape
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK) fp32
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
-        correction = jnp.exp(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1)
-        acc = acc * correction[:, None] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[gg, pl.ds(i * block_k, block_k), :]
+            v = v_ref[gg, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (BQ, BK) fp32
+            m_cur = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new[:, None])
+            correction = jnp.exp(m_prev - m_new)
+            l_new = l_prev * correction + jnp.sum(p, axis=-1)
+            acc = acc * correction[:, None] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
 
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+        m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq,), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[gg] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
 def _fwd_kernel_stream(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
@@ -199,14 +209,42 @@ def _pick_blocks(n_q, n_kv):
     return max(block_q, 8), max(block_k, 8)
 
 
+def _pick_group(bh, n_q, n_kv, d, itemsize):
+    """Number of (batch*head) planes per program for the resident kernels.
+
+    Attention has zero cross-plane data reuse, so grouping exists purely to
+    amortize fixed per-program overhead: at the DeCo-XL headline shape the
+    one-plane grid was 640 programs of ~30 MFLOP each and the whole
+    attention math measured ~12 TFLOP/s effective (6% of peak) while the
+    neighbouring SwiGLU GEMMs ran at 98% (scripts/bench_ablate.py). Picks
+    the largest divisor of ``bh`` (capped at 16) whose double-buffered
+    q/k/v/o blocks fit the VMEM budget. DECO_FLASH_GROUP forces a value
+    (must divide B*H; 1 reproduces the ungrouped layout for A/B).
+    """
+    import os
+
+    forced = os.environ.get("DECO_FLASH_GROUP")
+    if forced:
+        g = int(forced)
+        return g if bh % g == 0 else 1
+    d_eff = -(-d // 128) * 128  # VMEM lanes round up to the 128 boundary
+    block_q = min(n_q, 512)
+    for g in range(min(bh, 16), 1, -1):
+        vmem = 2 * itemsize * d_eff * g * (2 * n_kv + 2 * min(block_q, n_q))
+        if bh % g == 0 and vmem <= _RESIDENT_VMEM_BUDGET:
+            return g
+    return 1
+
+
 def _flash_fwd(q, k, v, scale):
-    """q/k/v: (BH, N, D_padded) -> o."""
+    """q/k/v: (BH, N, D) -> o. D needs no lane alignment (VMEM pads lanes)."""
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
     if _stream_resident(n_kv, d, q.dtype.itemsize):
         return _flash_fwd_stream(q, k, v, scale, want_lse=False)
     block_q, block_k = _pick_blocks(n_q, n_kv)
-    grid = (bh, n_q // block_q)
+    g = _pick_group(bh, n_q, n_kv, d, q.dtype.itemsize)
+    grid = (bh // g, n_q // block_q)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv
     )
@@ -214,14 +252,14 @@ def _flash_fwd(q, k, v, scale):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((g, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((g, n_kv, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((g, n_kv, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((g, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
     )(q, k, v)
@@ -231,36 +269,38 @@ def _flash_fwd(q, k, v, scale):
 def _fwd_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
                     kv_len):
     """Forward that also writes the logsumexp row stats for the backward."""
-    q = q_ref[0]
-    bq, d = q.shape
     num_kv = kv_len // block_k
+    for gg in range(q_ref.shape[0]):
+        q = q_ref[gg]
+        bq, d = q.shape
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
-        correction = jnp.exp(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1)
-        acc = acc * correction[:, None] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[gg, pl.ds(i * block_k, block_k), :]
+            v = v_ref[gg, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_cur = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new[:, None])
+            correction = jnp.exp(m_prev - m_new)
+            l_new = l_prev * correction + jnp.sum(p, axis=-1)
+            acc = acc * correction[:, None] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
 
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    # lse rides as (BH, 1, N): TPU blocks need (÷8|==dim, ÷128|==dim) in the
-    # last two axes, which (1, block_q) on a (BH, N) array violates
-    lse_ref[0, 0] = m + jnp.log(l)
+        m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq,), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[gg] = (acc / l[:, None]).astype(o_ref.dtype)
+        # lse rides as (BH, 1, N): TPU blocks need (÷8|==dim, ÷128|==dim) in
+        # the last two axes, which (1, block_q) on a (BH, N) array violates
+        lse_ref[gg, 0] = m + jnp.log(l)
 
 
 def _flash_fwd_lse(q, k, v, scale):
@@ -270,7 +310,8 @@ def _flash_fwd_lse(q, k, v, scale):
     if _stream_resident(n_kv, d, q.dtype.itemsize):
         return _flash_fwd_stream(q, k, v, scale, want_lse=True)
     block_q, block_k = _pick_blocks(n_q, n_kv)
-    grid = (bh, n_q // block_q)
+    g = _pick_group(bh, n_q, n_kv, d, q.dtype.itemsize)
+    grid = (bh // g, n_q // block_q)
     kernel = functools.partial(
         _fwd_kernel_lse, scale=scale, block_k=block_k, kv_len=n_kv
     )
@@ -278,17 +319,17 @@ def _flash_fwd_lse(q, k, v, scale):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((g, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((g, n_kv, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_kv, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((g, n_kv, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((g, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((g, 1, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -574,9 +615,16 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 def flash_attention(q, k, v, scale: float | None = None):
     """Fused attention. q: (B, Nq, H, D); k/v: (B, Nkv, H, D). Non-causal.
 
-    Returns (B, Nq, H, D) in q's dtype. Pads D to a multiple of 128 lanes
-    (exact — zero columns contribute nothing).
+    Returns (B, Nq, H, D) in q's dtype. Operands fold to (B*H, N, D); D
+    stays at its TRUE size by default — Mosaic pads the VMEM lane tiles
+    internally, so zero-padding D to 128 in HBM (the pre-round-5 layout)
+    only added +78% DMA bytes and two extra HBM copies per operand on
+    DeCo's 72-wide heads. DECO_FLASH_PAD=1 restores the padded layout
+    for A/B. (A head-major caller layout that makes this fold a free
+    reshape measured NO further win — see models/layers.RAttention.)
     """
+    import os
+
     b, n_q, h, d = q.shape
     n_kv = k.shape[1]
     if scale is None:
@@ -586,7 +634,7 @@ def flash_attention(q, k, v, scale: float | None = None):
         # sequences (e.g. a 2x2+cls ViT probe = 5 tokens) take the XLA fused
         # path — at these sizes the kernel has no advantage anyway
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
-    d_pad = -d % 128
+    d_pad = -d % 128 if os.environ.get("DECO_FLASH_PAD") == "1" else 0
     if d_pad:
         pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
         q, k, v = pad(q), pad(k), pad(v)
