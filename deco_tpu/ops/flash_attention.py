@@ -209,17 +209,19 @@ def _pick_blocks(n_q, n_kv):
     return max(block_q, 8), max(block_k, 8)
 
 
-def _pick_group(bh, n_q, n_kv, d, itemsize):
+def _pick_group(bh, rows, d, itemsize):
     """Number of (batch*head) planes per program for the resident kernels.
 
     Attention has zero cross-plane data reuse, so grouping exists purely to
     amortize fixed per-program overhead: at the DeCo-XL headline shape the
-    one-plane grid was 640 programs of ~30 MFLOP each and the whole
+    one-plane forward grid was 640 programs of ~30 MFLOP each and the whole
     attention math measured ~12 TFLOP/s effective (6% of peak) while the
-    neighbouring SwiGLU GEMMs ran at 98% (scripts/bench_ablate.py). Picks
-    the largest divisor of ``bh`` (capped at 16) whose double-buffered
-    q/k/v/o blocks fit the VMEM budget. DECO_FLASH_GROUP forces a value
-    (must divide B*H; 1 reproduces the ungrouped layout for A/B).
+    neighbouring SwiGLU GEMMs ran at 98% (scripts/bench_ablate.py; grouping
+    recovered +6% end-to-end). ``rows`` is the total of all operand block
+    row-counts for ONE plane (e.g. forward: 2*n_kv + 2*block_q); picks the
+    largest divisor of ``bh`` (capped at 16) whose double-buffered blocks
+    fit the VMEM budget. DECO_FLASH_GROUP forces a value (must divide B*H;
+    1 reproduces the ungrouped layout for A/B).
     """
     import os
 
@@ -228,9 +230,8 @@ def _pick_group(bh, n_q, n_kv, d, itemsize):
         g = int(forced)
         return g if bh % g == 0 else 1
     d_eff = -(-d // 128) * 128  # VMEM lanes round up to the 128 boundary
-    block_q = min(n_q, 512)
     for g in range(min(bh, 16), 1, -1):
-        vmem = 2 * itemsize * d_eff * g * (2 * n_kv + 2 * min(block_q, n_q))
+        vmem = 2 * itemsize * d_eff * g * rows
         if bh % g == 0 and vmem <= _RESIDENT_VMEM_BUDGET:
             return g
     return 1
@@ -243,7 +244,7 @@ def _flash_fwd(q, k, v, scale):
     if _stream_resident(n_kv, d, q.dtype.itemsize):
         return _flash_fwd_stream(q, k, v, scale, want_lse=False)
     block_q, block_k = _pick_blocks(n_q, n_kv)
-    g = _pick_group(bh, n_q, n_kv, d, q.dtype.itemsize)
+    g = _pick_group(bh, 2 * n_kv + 2 * block_q, d, q.dtype.itemsize)
     grid = (bh // g, n_q // block_q)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv
@@ -310,7 +311,7 @@ def _flash_fwd_lse(q, k, v, scale):
     if _stream_resident(n_kv, d, q.dtype.itemsize):
         return _flash_fwd_stream(q, k, v, scale, want_lse=True)
     block_q, block_k = _pick_blocks(n_q, n_kv)
-    g = _pick_group(bh, n_q, n_kv, d, q.dtype.itemsize)
+    g = _pick_group(bh, 2 * n_kv + 2 * block_q, d, q.dtype.itemsize)
     grid = (bh // g, n_q // block_q)
     kernel = functools.partial(
         _fwd_kernel_lse, scale=scale, block_k=block_k, kv_len=n_kv
@@ -342,68 +343,79 @@ def _flash_fwd_lse(q, k, v, scale):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    scale, block_k, kv_len):
-    """One program: the dq of one q block, streaming KV blocks."""
-    q = q_ref[0]                       # (BQ, D)
-    do = do_ref[0]                     # (BQ, D)
-    lse = lse_ref[0, 0]                # (BQ,) fp32
-    delta = delta_ref[0, 0]            # (BQ,) fp32
-    bq, d = q.shape
+    """One program: the dq of a group of planes, one q block each, streaming
+    KV blocks (same grouping rationale as _fwd_kernel)."""
     num_kv = kv_len // block_k
+    for gg in range(q_ref.shape[0]):
+        q = q_ref[gg]                      # (BQ, D)
+        do = do_ref[gg]                    # (BQ, D)
+        lse = lse_ref[gg, 0]               # (BQ,) fp32
+        delta = delta_ref[gg, 0]           # (BQ,) fp32
+        bq, d = q.shape
 
-    def body(i, acc):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                        # (BQ, BK)
-        p = jnp.exp(s - lse[:, None])
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                # (BQ, BK)
-        ds = (p * (dp - delta[:, None])).astype(k.dtype)
-        return acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        def body(i, acc):
+            k = k_ref[gg, pl.ds(i * block_k, block_k), :]
+            v = v_ref[gg, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                        # (BQ, BK)
+            p = jnp.exp(s - lse[:, None])
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (BQ, BK)
+            ds = (p * (dp - delta[:, None])).astype(k.dtype)
+            return acc + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    acc = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+        acc = jax.lax.fori_loop(0, num_kv, body,
+                                jnp.zeros((bq, d), jnp.float32))
+        dq_ref[gg] = (acc * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
                     dv_ref, *, scale, block_q, q_len):
-    """One program: the dk/dv of one kv block, streaming q blocks."""
-    k = k_ref[0]                       # (BK, D)
-    v = v_ref[0]
-    bk, d = k.shape
+    """One program: the dk/dv of a group of planes, one kv block each,
+    streaming q blocks."""
     num_q = q_len // block_q
+    for gg in range(k_ref.shape[0]):
+        k = k_ref[gg]                      # (BK, D)
+        v = v_ref[gg]
+        bk, d = k.shape
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                        # (BQ, BK)
-        p = jnp.exp(s - lse[:, None])
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (BK, D)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                # (BQ, BK)
-        ds = (p * (dp - delta[:, None])).astype(q.dtype)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                # (BK, D)
-        return dk_acc, dv_acc
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[gg, pl.ds(i * block_q, block_q), :]
+            do = do_ref[gg, pl.ds(i * block_q, block_q), :]
+            lse = lse_ref[gg, 0, pl.ds(i * block_q, block_q)]
+            delta = delta_ref[gg, 0, pl.ds(i * block_q, block_q)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                        # (BQ, BK)
+            p = jnp.exp(s - lse[:, None])
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (BK, D)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (BQ, BK)
+            ds = (p * (dp - delta[:, None])).astype(q.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (BK, D)
+            return dk_acc, dv_acc
 
-    zero = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        zero = jnp.zeros((bk, d), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+        dk_ref[gg] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[gg] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel_stream(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -525,32 +537,36 @@ def _flash_bwd_pallas(q, k, v, do, lse, delta, scale):
             or _stream_resident(n_q, d, q.dtype.itemsize)):
         return _flash_bwd_pallas_stream(q, k, v, do, lse, delta, scale)
     block_q, block_k = _pick_blocks(n_q, n_kv)
-    qkv_spec = lambda blk: pl.BlockSpec((1, blk, d), lambda b, i: (b, i, 0),
-                                        memory_space=pltpu.VMEM)
-    full = lambda n: pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
-                                  memory_space=pltpu.VMEM)
+    g_dq = _pick_group(bh, 2 * n_kv + 3 * block_q, d, q.dtype.itemsize)
+    g_kv = _pick_group(bh, 2 * n_q + 4 * block_k, d, q.dtype.itemsize)
+    qkv_spec = lambda g, blk: pl.BlockSpec((g, blk, d), lambda b, i: (b, i, 0),
+                                           memory_space=pltpu.VMEM)
+    full = lambda g, n: pl.BlockSpec((g, n, d), lambda b, i: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
     # lse/delta ride as (BH, 1, N) rows (TPU block-shape constraints)
-    row = lambda n: pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
-                                 memory_space=pltpu.VMEM)
+    row = lambda g, n: pl.BlockSpec((g, 1, n), lambda b, i: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
                           kv_len=n_kv),
-        grid=(bh, n_q // block_q),
-        in_specs=[qkv_spec(block_q), full(n_kv), full(n_kv), qkv_spec(block_q),
-                  pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+        grid=(bh // g_dq, n_q // block_q),
+        in_specs=[qkv_spec(g_dq, block_q), full(g_dq, n_kv), full(g_dq, n_kv),
+                  qkv_spec(g_dq, block_q),
+                  pl.BlockSpec((g_dq, 1, block_q), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                  pl.BlockSpec((g_dq, 1, block_q), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=qkv_spec(block_q),
+        out_specs=qkv_spec(g_dq, block_q),
         out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
     )(q, k, v, do, lse, delta)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
                           q_len=n_q),
-        grid=(bh, n_kv // block_k),
-        in_specs=[full(n_q), qkv_spec(block_k), qkv_spec(block_k), full(n_q),
-                  row(n_q), row(n_q)],
-        out_specs=[qkv_spec(block_k), qkv_spec(block_k)],
+        grid=(bh // g_kv, n_kv // block_k),
+        in_specs=[full(g_kv, n_q), qkv_spec(g_kv, block_k),
+                  qkv_spec(g_kv, block_k), full(g_kv, n_q),
+                  row(g_kv, n_q), row(g_kv, n_q)],
+        out_specs=[qkv_spec(g_kv, block_k), qkv_spec(g_kv, block_k)],
         out_shape=[jax.ShapeDtypeStruct((bh, n_kv, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, n_kv, d), v.dtype)],
     )(q, k, v, do, lse, delta)
